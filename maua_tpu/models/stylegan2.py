@@ -1,0 +1,311 @@
+"""StyleGAN2 Generator / Discriminator, TPU-native.
+
+Feature-parity with the reference model (reference: models/stylegan2.py:368-711):
+mapping MLP, constant OR latent-mapped input (`--noconst`), style mixing with
+inject_index, tensor-valued per-sample truncation, per-layer noise (stored
+buffers, explicit timelines, or fresh RNG), min_rgb_size, activation-map
+capture, network-bend hooks at every layer, and noise-buffer geometry for
+widescreen output sizes (1920x1080 / 1080x1920 / base_res_factor).
+
+Functional differences by design (not behavior):
+* Noise buffers live in a separate `buffers` variable collection (the
+  reference registers them as torch buffers, models/stylegan2.py:432-436).
+* `truncation_latent` is passed in explicitly (or precomputed via
+  `mean_latent`); no hidden module state mutation inside a jitted call.
+* Network bending is a list of (layer_id, fn) pure functions over activations
+  (replacing ManipulationLayer, models/stylegan2.py:297-307); model rewriting
+  is a params-pytree override (replacing render.py:160-167's setattr hack).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .blocks import (
+    DEFAULT_BLUR_KERNEL,
+    ConstantInput,
+    ConvLayer,
+    EqualLinear,
+    LatentInput,
+    ResBlock,
+    StyledConv,
+    ToRGB,
+    apply_bends,
+    minibatch_stddev,
+    pixel_norm,
+)
+
+Array = jnp.ndarray
+
+
+def channel_map(channel_multiplier: int = 2) -> dict[int, int]:
+    """Per-resolution channel table (reference: models/stylegan2.py:395-405)."""
+    return {
+        4: 512,
+        8: 512,
+        16: 512,
+        32: 512,
+        64: 256 * channel_multiplier,
+        128: 128 * channel_multiplier,
+        256: 64 * channel_multiplier,
+        512: 32 * channel_multiplier,
+        1024: 16 * channel_multiplier,
+    }
+
+
+def noise_shapes(
+    size: int,
+    output_size: Optional[int] = None,
+    base_res_factor: float = 1,
+) -> list[tuple[int, int, int, int]]:
+    """Spatial geometry of the per-layer noise buffers, including the
+    widescreen reshaping rule (reference: models/stylegan2.py:432-436,461-470)."""
+    log_size = int(math.log2(size))
+    num_layers = (log_size - 2) * 2 + 1
+    shapes = []
+    for layer_idx in range(num_layers):
+        res = (layer_idx + 5) // 2
+        if output_size is not None and (output_size != size or base_res_factor != 1):
+            h = int(base_res_factor * 2**res * (2 if output_size == 1080 else 1))
+            w = int(base_res_factor * 2**res * (2 if output_size == 1920 else 1))
+        else:
+            h = w = 2**res
+        shapes.append((1, 1, h, w))
+    return shapes
+
+
+class MappingNetwork(nn.Module):
+    """PixelNorm + n_mlp equalized linears with fused lrelu, lr_mul=0.01
+    (reference: models/stylegan2.py:388-393)."""
+
+    style_dim: int = 512
+    n_mlp: int = 8
+    lr_mlp: float = 0.01
+
+    @nn.compact
+    def __call__(self, z: Array) -> Array:
+        x = pixel_norm(z)
+        for i in range(self.n_mlp):
+            x = EqualLinear(
+                self.style_dim, lr_mul=self.lr_mlp, activation="fused_lrelu", name=f"dense_{i}"
+            )(x)
+        return x
+
+
+class Generator(nn.Module):
+    """StyleGAN2 synthesis + mapping (reference: models/stylegan2.py:368-576)."""
+
+    size: int = 1024
+    style_dim: int = 512
+    n_mlp: int = 8
+    channel_multiplier: int = 2
+    blur_kernel: Sequence[int] = DEFAULT_BLUR_KERNEL
+    lr_mlp: float = 0.01
+    constant_input: bool = False
+    min_rgb_size: int = 4
+    output_size: Optional[int] = None
+    base_res_factor: float = 1
+
+    @property
+    def log_size(self) -> int:
+        return int(math.log2(self.size))
+
+    @property
+    def num_layers(self) -> int:
+        return (self.log_size - 2) * 2 + 1
+
+    @property
+    def n_latent(self) -> int:
+        return self.log_size * 2 - 2
+
+    def setup(self):
+        channels = channel_map(self.channel_multiplier)
+        self.style = MappingNetwork(self.style_dim, self.n_mlp, self.lr_mlp)
+        if self.constant_input:
+            self.g_input = ConstantInput(channels[4])
+        else:
+            self.g_input = LatentInput(channels[4])
+        self.conv1 = StyledConv(channels[4], 3, blur_kernel=self.blur_kernel, layer_id=1)
+        self.to_rgb1 = ToRGB(upsample=False)
+
+        convs, to_rgbs = [], []
+        in_channel = channels[4]
+        layer_id = 1
+        for i in range(3, self.log_size + 1):
+            out_channel = channels[2**i]
+            layer_id += 1
+            convs.append(
+                StyledConv(
+                    out_channel, 3, upsample=True, blur_kernel=self.blur_kernel, layer_id=layer_id
+                )
+            )
+            layer_id += 1
+            convs.append(StyledConv(out_channel, 3, blur_kernel=self.blur_kernel, layer_id=layer_id))
+            to_rgbs.append(ToRGB(blur_kernel=self.blur_kernel))
+            in_channel = out_channel
+        self.convs = convs
+        self.to_rgbs = to_rgbs
+
+        # stored noise buffers (reference: models/stylegan2.py:432-436,461-470)
+        shapes = noise_shapes(self.size, self.output_size, self.base_res_factor)
+        self.noises = [
+            self.variable("buffers", f"noise_{i}", jnp.zeros, s, jnp.float32)
+            for i, s in enumerate(shapes)
+        ]
+
+    def map_latents(self, styles: Array) -> Array:
+        """z [B, style_dim] -> W+ [B, n_latent, style_dim] fast path
+        (reference: models/stylegan2.py:506-509)."""
+        w = self.style(styles)
+        return jnp.repeat(w[:, None, :], self.n_latent, axis=1)
+
+    def mean_latent(self, rng: jax.Array, n_latent: int = 2**14) -> Array:
+        """Mean mapped latent for truncation (reference: models/stylegan2.py:483-487)."""
+        z = jax.random.normal(rng, (n_latent, self.style_dim))
+        return jnp.mean(self.style(z), axis=0, keepdims=True)
+
+    def get_latent(self, z: Array) -> Array:
+        return self.style(z)
+
+    def __call__(
+        self,
+        styles: Array | Sequence[Array],
+        return_latents: bool = False,
+        return_activation_maps: bool = False,
+        inject_index: Optional[int] = None,
+        truncation: float | Array = 1.0,
+        truncation_latent: Optional[Array] = None,
+        input_is_latent: bool = False,
+        noise: Optional[Sequence[Optional[Array]]] = None,
+        randomize_noise: bool = True,
+        bends: Sequence[Any] = (),
+        map_latents: bool = False,
+    ):
+        """Synthesize images.
+
+        Mirrors the reference forward signature (models/stylegan2.py:492-576);
+        `bends` replaces `transform_dict_list` with (layer_id, fn) pairs.
+        `truncation` may be a python float or a per-sample [B] array
+        (tensor truncation, models/stylegan2.py:537-543).
+        """
+        if map_latents:
+            return self.map_latents(styles if isinstance(styles, jnp.ndarray) else styles[0])
+
+        # --- style mixing / W+ assembly (models/stylegan2.py:511-529) ---
+        if not input_is_latent:
+            if isinstance(styles, jnp.ndarray):
+                styles = [styles]
+            ws = [self.style(s) for s in styles]
+            if len(ws) < 2:
+                if ws[0].ndim < 3:
+                    latent = jnp.repeat(ws[0][:, None, :], self.n_latent, axis=1)
+                else:
+                    latent = ws[0]
+            else:
+                idx = inject_index if inject_index is not None else self.n_latent // 2
+                latent = jnp.concatenate(
+                    [
+                        jnp.repeat(ws[0][:, None, :], idx, axis=1),
+                        jnp.repeat(ws[1][:, None, :], self.n_latent - idx, axis=1),
+                    ],
+                    axis=1,
+                )
+        else:
+            latent = styles if isinstance(styles, jnp.ndarray) else styles[0]
+            if latent.ndim == 2:
+                latent = jnp.repeat(latent[:, None, :], self.n_latent, axis=1)
+
+        # --- noise defaults (models/stylegan2.py:531-535) ---
+        if noise is None:
+            noise = [None] * self.num_layers
+        noise = list(noise)
+        if not randomize_noise:
+            for i in range(self.num_layers):
+                if noise[i] is None:
+                    noise[i] = self.noises[i].value
+        # randomize_noise=True with None entries: NoiseInjection draws from the
+        # 'noise' RNG stream per layer.
+
+        # --- truncation: always-applied per-sample lerp (models/stylegan2.py:537-543)
+        trunc = jnp.asarray(truncation, dtype=latent.dtype)
+        apply_trunc = truncation_latent is not None
+        if not apply_trunc and isinstance(truncation, float) and truncation != 1.0:
+            raise ValueError(
+                "truncation != 1 requires truncation_latent (precompute with "
+                "Generator.mean_latent — the reference computes it lazily in-module, "
+                "models/stylegan2.py:539-540, which is not jit-compatible)"
+            )
+        if apply_trunc:
+            tl = truncation_latent.reshape(1, -1)[None]  # [1,1,style_dim]
+            t = jnp.broadcast_to(trunc.reshape(-1), (latent.shape[0],))[:, None, None]
+            latent = tl + t * (latent - tl)
+
+        activation_maps = []
+
+        # --- synthesis (models/stylegan2.py:545-569) ---
+        if self.constant_input:
+            out = self.g_input(latent.shape[0])
+        else:
+            out = self.g_input(latent)
+        out = apply_bends(out, 0, bends)
+        out = self.conv1(out, latent[:, 0], noise=noise[0], bends=bends)
+        activation_maps.append(out)
+
+        current_size = 4
+        image = self.to_rgb1(out, latent[:, 1]) if self.min_rgb_size <= current_size else None
+
+        i = 1
+        for k in range(len(self.to_rgbs)):
+            conv_a, conv_b, to_rgb = self.convs[2 * k], self.convs[2 * k + 1], self.to_rgbs[k]
+            out = conv_a(out, latent[:, i], noise=noise[2 * k + 1], bends=bends)
+            current_size *= 2
+            activation_maps.append(out)
+            out = conv_b(out, latent[:, i + 1], noise=noise[2 * k + 2], bends=bends)
+            activation_maps.append(out)
+            if self.min_rgb_size <= current_size:
+                image = to_rgb(out, latent[:, i + 2], image)
+            i += 2
+
+        if return_activation_maps:
+            return image, activation_maps
+        if return_latents:
+            return image, latent
+        return image, None
+
+
+class Discriminator(nn.Module):
+    """StyleGAN2 discriminator (reference: models/stylegan2.py:646-711)."""
+
+    size: int = 1024
+    channel_multiplier: int = 2
+    blur_kernel: Sequence[int] = DEFAULT_BLUR_KERNEL
+    use_skip: bool = True
+    stddev_group: int = 4
+    stddev_feat: int = 1
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        channels = channel_map(self.channel_multiplier)
+        log_size = int(math.log2(self.size))
+
+        out = ConvLayer(channels[self.size], 1, name="from_rgb")(x)
+        for i in range(log_size, 2, -1):
+            out = ResBlock(
+                channels[2 ** (i - 1)],
+                blur_kernel=self.blur_kernel,
+                use_skip=self.use_skip,
+                name=f"block_{i}",
+            )(out)
+
+        batch = out.shape[0]
+        out = minibatch_stddev(out, self.stddev_group, self.stddev_feat)
+        out = ConvLayer(channels[4], 3, name="final_conv")(out)
+        out = out.reshape(batch, -1)
+        out = EqualLinear(channels[4], activation="fused_lrelu", name="final_linear_0")(out)
+        out = EqualLinear(1, name="final_linear_1")(out)
+        return out

@@ -1,0 +1,122 @@
+"""Checkpoint-ingestion tests: a synthetic rosinality-format state dict must
+map onto the flax variable tree with identical structure, shapes, and values
+(transposes/squeezes verified by round-trip)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from maua_tpu.io import (
+    discriminator_variables_from_torch,
+    generator_variables_from_torch,
+    infer_generator_config,
+)
+from maua_tpu.models import Discriminator, Generator
+
+
+def _flax_gen_to_torch_sd(variables, gen):
+    """Inverse of the ingestion mapping, used to fabricate a reference-format
+    state dict from flax params (torch layouts: linear [out,in], modconv
+    [1,O,I,k,k], buffers under noises.)."""
+    p = variables["params"]
+    sd = {}
+
+    def put_lin(prefix, tree):
+        sd[f"{prefix}.weight"] = np.asarray(tree["weight"]).T
+        if "bias" in tree:
+            sd[f"{prefix}.bias"] = np.asarray(tree["bias"])
+
+    def put_modconv(prefix, tree):
+        sd[f"{prefix}.weight"] = np.asarray(tree["weight"])[None]
+        put_lin(f"{prefix}.modulation", tree["modulation"])
+
+    def put_styled(prefix, tree):
+        put_modconv(f"{prefix}.conv", tree["conv"])
+        sd[f"{prefix}.noise.weight"] = np.asarray(tree["noise"]["weight"])
+        sd[f"{prefix}.activate.bias"] = np.asarray(tree["act_bias"])
+
+    def put_torgb(prefix, tree):
+        put_modconv(f"{prefix}.conv", tree["conv"])
+        sd[f"{prefix}.bias"] = np.asarray(tree["bias"])
+
+    for i in range(gen.n_mlp):
+        put_lin(f"style.{i + 1}", p["style"][f"dense_{i}"])
+    if "input" in p["g_input"]:
+        sd["input.input"] = np.asarray(p["g_input"]["input"])
+    else:
+        put_lin("input.linear", p["g_input"]["linear"])
+        sd["input.activate.bias"] = np.asarray(p["g_input"]["act_bias"])
+    put_styled("conv1", p["conv1"])
+    put_torgb("to_rgb1", p["to_rgb1"])
+    n_convs = sum(1 for k in p if k.startswith("convs_"))
+    for i in range(n_convs):
+        put_styled(f"convs.{i}", p[f"convs_{i}"])
+    for i in range(n_convs // 2):
+        put_torgb(f"to_rgbs.{i}", p[f"to_rgbs_{i}"])
+    for k, v in variables["buffers"].items():
+        sd[f"noises.{k}"] = np.asarray(v)
+    return sd
+
+
+@pytest.mark.parametrize("constant_input", [True, False])
+def test_generator_roundtrip(constant_input):
+    gen = Generator(size=32, style_dim=64, n_mlp=2, channel_multiplier=1, constant_input=constant_input)
+    z = jnp.zeros((1, 64))
+    variables = gen.init({"params": jax.random.PRNGKey(0)}, z, randomize_noise=False)
+    sd = _flax_gen_to_torch_sd(variables, gen)
+
+    cfg = infer_generator_config(sd)
+    assert cfg["size"] == 32 and cfg["style_dim"] == 64 and cfg["n_mlp"] == 2
+    assert cfg["constant_input"] == constant_input
+
+    loaded = generator_variables_from_torch(sd)
+    # exact tree + value equality
+    orig_flat = jax.tree_util.tree_leaves_with_path(variables["params"])
+    loaded_params = loaded["params"]
+    for path, leaf in orig_flat:
+        node = loaded_params
+        for part in path:
+            node = node[part.key]
+        assert node.shape == leaf.shape, path
+        np.testing.assert_array_equal(np.asarray(node), np.asarray(leaf))
+
+    # converted checkpoint actually runs
+    img, _ = gen.apply(loaded, jax.random.normal(jax.random.PRNGKey(1), (1, 64)), randomize_noise=False)
+    orig_img, _ = gen.apply(variables, jax.random.normal(jax.random.PRNGKey(1), (1, 64)), randomize_noise=False)
+    np.testing.assert_array_equal(np.asarray(img), np.asarray(orig_img))
+
+
+def test_discriminator_roundtrip():
+    disc = Discriminator(size=32, channel_multiplier=1)
+    x = jnp.zeros((2, 3, 32, 32))
+    variables = disc.init(jax.random.PRNGKey(0), x)
+    p = variables["params"]
+
+    sd = {}
+
+    def put_convlayer(prefix, tree, downsample):
+        idx = 1 if downsample else 0
+        sd[f"{prefix}.{idx}.weight"] = np.asarray(tree["conv"]["weight"])
+        if "bias" in tree["conv"]:
+            sd[f"{prefix}.{idx}.bias"] = np.asarray(tree["conv"]["bias"])
+        if "act_bias" in tree:
+            sd[f"{prefix}.{idx + 1}.bias"] = np.asarray(tree["act_bias"])
+
+    put_convlayer("convs.0", p["from_rgb"], False)
+    blocks = sorted(int(k.split("_")[1]) for k in p if k.startswith("block_"))
+    for j, res in enumerate(sorted(blocks, reverse=True)):
+        put_convlayer(f"convs.{j + 1}.conv1", p[f"block_{res}"]["conv1"], False)
+        put_convlayer(f"convs.{j + 1}.conv2", p[f"block_{res}"]["conv2"], True)
+        put_convlayer(f"convs.{j + 1}.skip", p[f"block_{res}"]["skip"], True)
+    put_convlayer("final_conv", p["final_conv"], False)
+    sd["final_linear.0.weight"] = np.asarray(p["final_linear_0"]["weight"]).T
+    sd["final_linear.0.bias"] = np.asarray(p["final_linear_0"]["bias"])
+    sd["final_linear.1.weight"] = np.asarray(p["final_linear_1"]["weight"]).T
+    sd["final_linear.1.bias"] = np.asarray(p["final_linear_1"]["bias"])
+
+    loaded = discriminator_variables_from_torch(sd)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 32, 32))
+    np.testing.assert_array_equal(
+        np.asarray(disc.apply(loaded, x)), np.asarray(disc.apply(variables, x))
+    )
