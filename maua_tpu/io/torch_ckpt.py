@@ -167,16 +167,24 @@ def infer_generator_config(state_dict: Mapping[str, np.ndarray]) -> dict[str, An
     log_size = n_convs // 2 + 2
     size = 2**log_size
     constant_input = "input.input" in sd and np.asarray(sd["input.input"]).ndim == 4
-    # channel multiplier from the final conv's channel count vs. the table
+    # channel multiplier from the final conv's channel count vs. the table;
+    # channel_max (fmap cap) from the widest conv observed
     last_ch = int(np.asarray(sd[f"convs.{n_convs - 1}.conv.weight"]).shape[1])
     base = {4: 512, 8: 512, 16: 512, 32: 512, 64: 256, 128: 128, 256: 64, 512: 32, 1024: 16}[size]
     channel_multiplier = max(1, last_ch // base) if size >= 64 else 2
+    channel_max = max(
+        int(np.asarray(v).shape[1])
+        for k, v in sd.items()
+        if re.fullmatch(r"convs\.\d+\.conv\.weight", k)
+    )
+    channel_max = max(channel_max, last_ch)
     return dict(
         size=size,
         style_dim=style_dim,
         n_mlp=n_mlp,
         channel_multiplier=channel_multiplier,
         constant_input=constant_input,
+        channel_max=channel_max if channel_max < 512 else 512,
     )
 
 

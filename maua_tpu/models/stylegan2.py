@@ -43,9 +43,12 @@ from .blocks import (
 Array = jnp.ndarray
 
 
-def channel_map(channel_multiplier: int = 2) -> dict[int, int]:
-    """Per-resolution channel table (reference: models/stylegan2.py:395-405)."""
-    return {
+def channel_map(channel_multiplier: int = 2, channel_max: int = 512) -> dict[int, int]:
+    """Per-resolution channel table (reference: models/stylegan2.py:395-405).
+
+    channel_max caps the width (StyleGAN's fmap_max; the reference hardcodes
+    512) — lets tests and small configs use narrow models."""
+    table = {
         4: 512,
         8: 512,
         16: 512,
@@ -56,6 +59,7 @@ def channel_map(channel_multiplier: int = 2) -> dict[int, int]:
         512: 32 * channel_multiplier,
         1024: 16 * channel_multiplier,
     }
+    return {k: min(v, channel_max) for k, v in table.items()}
 
 
 def noise_shapes(
@@ -110,6 +114,7 @@ class Generator(nn.Module):
     min_rgb_size: int = 4
     output_size: Optional[int] = None
     base_res_factor: float = 1
+    channel_max: int = 512
 
     @property
     def log_size(self) -> int:
@@ -124,7 +129,7 @@ class Generator(nn.Module):
         return self.log_size * 2 - 2
 
     def setup(self):
-        channels = channel_map(self.channel_multiplier)
+        channels = channel_map(self.channel_multiplier, self.channel_max)
         self.style = MappingNetwork(self.style_dim, self.n_mlp, self.lr_mlp)
         if self.constant_input:
             self.g_input = ConstantInput(channels[4])
@@ -287,10 +292,14 @@ class Discriminator(nn.Module):
     use_skip: bool = True
     stddev_group: int = 4
     stddev_feat: int = 1
+    channel_max: int = 512
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
-        channels = channel_map(self.channel_multiplier)
+    def __call__(self, x: Array, return_hidden: bool = False):
+        """return_hidden=True also returns the last-resblock activation — the
+        hidden layer the contrastive learner hooks (reference:
+        contrastive_learner.py:115-153 picks D's layer=-2 via forward hook)."""
+        channels = channel_map(self.channel_multiplier, self.channel_max)
         log_size = int(math.log2(self.size))
 
         out = ConvLayer(channels[self.size], 1, name="from_rgb")(x)
@@ -301,6 +310,7 @@ class Discriminator(nn.Module):
                 use_skip=self.use_skip,
                 name=f"block_{i}",
             )(out)
+        hidden = out
 
         batch = out.shape[0]
         out = minibatch_stddev(out, self.stddev_group, self.stddev_feat)
@@ -308,4 +318,6 @@ class Discriminator(nn.Module):
         out = out.reshape(batch, -1)
         out = EqualLinear(channels[4], activation="fused_lrelu", name="final_linear_0")(out)
         out = EqualLinear(1, name="final_linear_1")(out)
+        if return_hidden:
+            return out, hidden
         return out

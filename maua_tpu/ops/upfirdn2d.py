@@ -98,29 +98,56 @@ def upfirdn2d(x: jnp.ndarray, kernel: jnp.ndarray, up=1, down=1, pad=(0, 0)) -> 
 
     # True convolution == correlation with the flipped kernel. conv_general_dilated
     # performs correlation, so flip here once.
-    k = jnp.flip(kernel, (0, 1)).astype(x.dtype)
-    # Depthwise: one shared filter for every channel; feature_group_count=C with a
-    # broadcast [C, 1, kh, kw] kernel keeps the channel axis intact (vs. the
-    # reference's reshape to (N*C, 1, H, W), op/upfirdn2d.py:174).
-    k = jnp.broadcast_to(k[None, None], (c, 1, kh, kw))
+    k = jnp.flip(kernel, (0, 1)).astype(x.dtype)[None, None]  # [1, 1, kh, kw]
 
-    # Negative padding is legal in XLA and performs the crop inline. Padding is
-    # applied *after* lhs dilation, matching the reference's pad-after-zero-stuff
-    # order (op/upfirdn2d.py:169-178). lhs_dilation only inserts zeros *between*
-    # samples (size h*up - (up-1)); zero-stuffing appends up-1 trailing zeros
-    # too, so fold those into the high-side padding.
+    # Channels fold into the batch axis — one shared single-channel filter.
+    # This is the same (major, H, W, minor) flattening the reference CUDA
+    # kernel uses (op/upfirdn2d.py:174 reshape to (N*C, 1, H, W)); it is also
+    # much faster than feature_group_count=C in XLA, whose grouped-conv
+    # (and especially its gradient) lowers poorly on CPU (6-10x measured).
+    xr = x.reshape(n * c, 1, h, w)
+
+    if pad_x0 >= 0 and pad_x1 >= 0 and pad_y0 >= 0 and pad_y1 >= 0:
+        # Fast path: fold zero-stuffing into lhs_dilation so XLA lowers one
+        # fused dilated conv. Padding is applied *after* lhs dilation, matching
+        # the reference's pad-after-zero-stuff order (op/upfirdn2d.py:169-178).
+        # lhs_dilation only inserts zeros *between* samples; zero-stuffing
+        # appends up-1 trailing zeros too, so fold those into high-side pad.
+        out = lax.conv_general_dilated(
+            xr,
+            k,
+            window_strides=(down_y, down_x),
+            padding=((pad_y0, pad_y1 + up_y - 1), (pad_x0, pad_x1 + up_x - 1)),
+            lhs_dilation=(up_y, up_x),
+            rhs_dilation=(1, 1),
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            precision=lax.Precision.HIGHEST,
+        )
+        return out.reshape(n, c, out.shape[2], out.shape[3])
+
+    # Negative pads crop the zero-stuffed tensor BEFORE convolution; XLA's
+    # negative conv padding has different semantics, so materialize the
+    # stuff+pad step with lax.pad (interior dilation + negative edge pads in
+    # one op, fused by XLA) and run a plain strided VALID conv.
+    z = lax.pad(
+        xr,
+        jnp.asarray(0.0, x.dtype),
+        (
+            (0, 0, 0),
+            (0, 0, 0),
+            (pad_y0, pad_y1 + up_y - 1, up_y - 1),
+            (pad_x0, pad_x1 + up_x - 1, up_x - 1),
+        ),
+    )
     out = lax.conv_general_dilated(
-        x,
+        z,
         k,
         window_strides=(down_y, down_x),
-        padding=((pad_y0, pad_y1 + up_y - 1), (pad_x0, pad_x1 + up_x - 1)),
-        lhs_dilation=(up_y, up_x),
-        rhs_dilation=(1, 1),
+        padding=((0, 0), (0, 0)),
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        feature_group_count=c,
         precision=lax.Precision.HIGHEST,
     )
-    return out
+    return out.reshape(n, c, out.shape[2], out.shape[3])
 
 
 def upfirdn2d_native(x, kernel, up=1, down=1, pad=(0, 0)):

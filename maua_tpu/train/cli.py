@@ -1,0 +1,186 @@
+"""Training entry point: the host-side loop around the jitted train step.
+
+Reference: train.py:351-613 — argparse, model/optimizer setup, dataset,
+train loop with rank-0 logging, periodic sample grids / FID / checkpoints.
+Run:  python -m maua_tpu.train.cli --path shards/ --size 256
+
+Logging goes to stdout + a metrics.jsonl in the run dir (wandb is used when
+importable and --wandb is passed, mirroring train.py:602-606)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import DataLoader, MultiResolutionRecordDataset
+from ..parallel import get_mesh, is_main_process
+from .checkpoint import latest_checkpoint, load_torch_training_checkpoint, restore_checkpoint, save_checkpoint
+from .step import init_train_state, make_train_config, make_train_step
+
+
+def save_image_grid(images: np.ndarray, path: str, n_cols: int = 4) -> None:
+    """[-1,1] NCHW -> contact sheet png (reference: train.py:277-285 sample grids)."""
+    from PIL import Image
+
+    imgs = ((np.clip(images, -1, 1) + 1) * 127.5).astype(np.uint8).transpose(0, 2, 3, 1)
+    n, h, w, _ = imgs.shape
+    n_rows = -(-n // n_cols)
+    sheet = np.zeros((n_rows * h, n_cols * w, 3), np.uint8)
+    for i, img in enumerate(imgs):
+        r, c = divmod(i, n_cols)
+        sheet[r * h : (r + 1) * h, c * w : (c + 1) * w] = img
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    Image.fromarray(sheet).save(path)
+
+
+def train_loop(args) -> None:
+    mesh = get_mesh()
+    cfg = make_train_config(
+        size=args.size,
+        batch_size=args.batch_size,
+        num_accumulate=args.num_accumulate,
+        lr=args.lr,
+        r1=args.r1,
+        path_regularize=args.path_regularize,
+        d_reg_every=args.d_reg_every,
+        g_reg_every=args.g_reg_every,
+        mixing_prob=args.mixing,
+        channel_multiplier=args.channel_multiplier,
+        constant_input=not args.noconst,
+        augment=args.augment,
+        augment_p=args.augment_p,
+        ada_target=args.ada_target,
+        ada_length=args.ada_length * args.num_accumulate,
+        lookahead=args.lookahead,
+        la_steps=args.la_steps,
+        la_alpha=args.la_alpha,
+        bcr_weight=args.balanced_consistency,
+    )
+    state, gen, disc = init_train_state(jax.random.PRNGKey(args.seed), cfg)
+    step_fn = jax.jit(make_train_step(gen, disc, cfg))
+
+    if args.checkpoint:
+        if args.checkpoint.endswith(".pt"):
+            state = load_torch_training_checkpoint(args.checkpoint, state, args.transfer_mapping_only)
+        else:
+            state = restore_checkpoint(args.checkpoint, state)
+    elif args.resume:
+        latest = latest_checkpoint(args.run_dir)
+        if latest:
+            state = restore_checkpoint(latest, state)
+
+    dataset = MultiResolutionRecordDataset(args.path, resolution=args.size)
+    loader = DataLoader(
+        dataset,
+        batch_size=cfg.batch_size,
+        num_accumulate=cfg.num_accumulate,
+        num_workers=args.num_workers,
+        mesh=mesh,
+        seed=args.seed,
+    )
+
+    os.makedirs(args.run_dir, exist_ok=True)
+    metrics_file = open(os.path.join(args.run_dir, "metrics.jsonl"), "a")
+    wandb_run = None
+    if args.wandb and is_main_process():
+        try:
+            import wandb
+
+            wandb_run = wandb.init(project=args.wandb_project, config=vars(args))
+        except Exception as e:
+            print(f"wandb unavailable ({e}); logging to jsonl only")
+
+    sample_z = jax.random.normal(jax.random.PRNGKey(args.seed + 1), (args.n_sample, cfg.latent_dim))
+
+    rng = jax.random.PRNGKey(args.seed + 2)
+    start = int(state.step)
+    t_last = time.time()
+    for i in range(start, args.iter):
+        real = next(loader)
+        rng, key = jax.random.split(rng)
+        state, metrics = step_fn(state, real, key)
+
+        if is_main_process() and (i % args.log_every == 0):
+            jax.block_until_ready(metrics)
+            log = {k: float(v) for k, v in metrics.items()}
+            log["step"] = i
+            log["sec_per_iter"] = (time.time() - t_last) / max(args.log_every, 1)
+            t_last = time.time()
+            print(json.dumps({k: round(v, 5) if isinstance(v, float) else v for k, v in log.items()}))
+            metrics_file.write(json.dumps(log) + "\n")
+            metrics_file.flush()
+            if wandb_run is not None:
+                wandb_run.log(log, step=i)
+
+        if is_main_process() and args.img_every > 0 and i % args.img_every == 0:
+            imgs, _ = gen.apply(
+                {"params": state.g_ema_params, "buffers": state.g_buffers},
+                sample_z,
+                randomize_noise=False,
+            )
+            save_image_grid(np.asarray(imgs), os.path.join(args.run_dir, f"samples/{i:07d}.png"))
+
+        if is_main_process() and args.checkpoint_every > 0 and i > 0 and i % args.checkpoint_every == 0:
+            save_checkpoint(args.run_dir, state, step=i)
+
+    if is_main_process():
+        save_checkpoint(args.run_dir, state)
+    loader.close()
+    metrics_file.close()
+
+
+def build_parser() -> argparse.ArgumentParser:
+    # flags mirror reference train.py:354-426
+    p = argparse.ArgumentParser(description="maua_tpu StyleGAN2-ADA training")
+    p.add_argument("--path", type=str, required=True, help="record-shard directory")
+    p.add_argument("--run_dir", type=str, default="runs/default")
+    p.add_argument("--iter", type=int, default=20_000)
+    p.add_argument("--size", type=int, default=256)
+    p.add_argument("--batch_size", type=int, default=12)
+    p.add_argument("--num_accumulate", type=int, default=1)
+    p.add_argument("--lr", type=float, default=2e-3)
+    p.add_argument("--r1", type=float, default=1e-5)
+    p.add_argument("--path_regularize", type=float, default=2.0)
+    p.add_argument("--d_reg_every", type=int, default=16)
+    p.add_argument("--g_reg_every", type=int, default=4)
+    p.add_argument("--mixing", type=float, default=0.9)
+    p.add_argument("--channel_multiplier", type=int, default=2)
+    p.add_argument("--noconst", action="store_true")
+    p.add_argument("--augment", action="store_true", default=True)
+    p.add_argument("--no-augment", dest="augment", action="store_false")
+    p.add_argument("--augment_p", type=float, default=0.0)
+    p.add_argument("--ada_target", type=float, default=0.6)
+    p.add_argument("--ada_length", type=float, default=15_000 * 12)
+    p.add_argument("--lookahead", action="store_true", default=True)
+    p.add_argument("--no-lookahead", dest="lookahead", action="store_false")
+    p.add_argument("--la_steps", type=int, default=500)
+    p.add_argument("--la_alpha", type=float, default=0.5)
+    p.add_argument("--balanced_consistency", type=float, default=0.0)
+    p.add_argument("--checkpoint", type=str, default=None, help=".pt (torch) or orbax dir")
+    p.add_argument("--transfer_mapping_only", action="store_true")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--checkpoint_every", type=int, default=1000)
+    p.add_argument("--img_every", type=int, default=500)
+    p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--n_sample", type=int, default=8)
+    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--wandb", action="store_true")
+    p.add_argument("--wandb_project", type=str, default="maua_tpu")
+    return p
+
+
+def main(argv=None) -> int:
+    train_loop(build_parser().parse_args(argv))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,407 @@
+"""The jitted GAN train step: D phase, lazy R1, ADA adaptation, G phase, lazy
+path-length regularization, lookahead-minimax, EMA — one XLA program.
+
+Rebuilds reference train.py:105-348 TPU-first:
+* One jit compiles the whole iteration; data-parallelism is GSPMD — params
+  replicated, batch dim-0 sharded over the `data` mesh axis; global means make
+  XLA insert the gradient all-reduces that DDP hooks did
+  (reference: train.py:555-579).
+* Lazy regularization (reference: train.py:195-205,242-249) is `lax.cond` on
+  step % reg_every — only the taken branch executes at runtime.
+* Gradient accumulation (reference: train.py:157-193) is a `lax.scan` over a
+  leading microbatch axis.
+* Style mixing (reference: train.py:59-62, models/stylegan2.py:511-525) is
+  per-sample W-space mixing with a traced inject index (jit-friendly, no
+  Python RNG).
+* ADA's r_t statistic is computed on the global (sharded) batch — the psum
+  the reference does by hand (train.py:207-224, distributed.py:42-52) falls
+  out of GSPMD.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, NamedTuple, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import Discriminator, Generator
+from .augment import augment, ada_adjust_p
+from .ema import EMA_DECAY_DEFAULT, ema_update
+from .lookahead import LookaheadState, lookahead_minimax_init, lookahead_minimax_step
+from .losses import d_logistic_loss, g_nonsaturating_loss
+
+Array = jnp.ndarray
+
+
+class TrainConfig(NamedTuple):
+    """Static training hyper-parameters (reference argparse train.py:354-426)."""
+
+    size: int = 256
+    latent_dim: int = 512
+    batch_size: int = 8  # global batch per microbatch
+    num_accumulate: int = 1
+    lr: float = 2e-3
+    r1: float = 1e-5  # scaled by size² at config build (train.py:430)
+    path_regularize: float = 2.0
+    path_batch_shrink: int = 2
+    d_reg_every: int = 16
+    g_reg_every: int = 4
+    mixing_prob: float = 0.9
+    channel_multiplier: int = 2
+    channel_max: int = 512
+    constant_input: bool = False
+    augment: bool = True
+    augment_p: float = 0.0  # 0 = adaptive
+    ada_target: float = 0.6
+    ada_length: float = 15_000.0 * 12
+    lookahead: bool = True
+    la_steps: int = 500
+    la_alpha: float = 0.5
+    ema_decay: float = EMA_DECAY_DEFAULT
+    bcr_weight: float = 0.0  # balanced consistency regularization (train.py:184-189)
+
+
+def make_train_config(**kwargs) -> TrainConfig:
+    """Build a TrainConfig applying the reference's derived args:
+    r1 *= size² (train.py:430)."""
+    cfg = TrainConfig(**kwargs)
+    return cfg._replace(r1=cfg.r1 * cfg.size**2)
+
+
+def _reg_adjusted_adam(lr: float, reg_every: int) -> optax.GradientTransformation:
+    """Adam with lazy-regularization-adjusted lr/betas
+    (reference: train.py:505-515): ratio = n/(n+1), lr*ratio, betas**ratio."""
+    ratio = reg_every / (reg_every + 1.0)
+    return optax.adam(lr * ratio, b1=0.0**ratio, b2=0.99**ratio)
+
+
+@flax.struct.dataclass
+class GANTrainState:
+    step: Array
+    g_params: Any
+    d_params: Any
+    g_ema_params: Any
+    g_buffers: Any
+    g_opt_state: Any
+    d_opt_state: Any
+    lookahead: Optional[LookaheadState]
+    mean_path_length: Array
+    ada_p: Array
+    ada_signs: Array
+    ada_n: Array
+
+
+def init_train_state(rng: jax.Array, cfg: TrainConfig) -> tuple[GANTrainState, Generator, Discriminator]:
+    """Construct models + optimizer state (reference: train.py:449-520)."""
+    gen = Generator(
+        size=cfg.size,
+        style_dim=cfg.latent_dim,
+        channel_multiplier=cfg.channel_multiplier,
+        channel_max=cfg.channel_max,
+        constant_input=cfg.constant_input,
+    )
+    disc = Discriminator(
+        size=cfg.size, channel_multiplier=cfg.channel_multiplier, channel_max=cfg.channel_max
+    )
+
+    kg, kd, kn = jax.random.split(rng, 3)
+    z = jnp.zeros((2, cfg.latent_dim))
+    g_vars = gen.init({"params": kg, "noise": kn}, z)
+    d_vars = disc.init(kd, jnp.zeros((2, 3, cfg.size, cfg.size)))
+
+    g_params = g_vars["params"]
+    g_buffers = g_vars.get("buffers", {})
+    d_params = d_vars["params"]
+
+    g_opt = _reg_adjusted_adam(cfg.lr, cfg.g_reg_every)
+    d_opt = _reg_adjusted_adam(cfg.lr, cfg.d_reg_every)
+
+    state = GANTrainState(
+        step=jnp.zeros((), jnp.int32),
+        g_params=g_params,
+        d_params=d_params,
+        g_ema_params=jax.tree_util.tree_map(jnp.asarray, g_params),
+        g_buffers=g_buffers,
+        g_opt_state=g_opt.init(g_params),
+        d_opt_state=d_opt.init(d_params),
+        lookahead=lookahead_minimax_init(g_params, d_params) if cfg.lookahead else None,
+        mean_path_length=jnp.zeros(()),
+        ada_p=jnp.asarray(cfg.augment_p, jnp.float32),
+        ada_signs=jnp.zeros(()),
+        ada_n=jnp.zeros(()),
+    )
+    return state, gen, disc
+
+
+def _mixed_wplus(gen: Generator, g_params: Any, buffers: Any, rng: jax.Array, batch: int, cfg: TrainConfig) -> Array:
+    """Sample z (+ optional second z), map through the style MLP, and build a
+    per-sample style-mixed W+ [B, n_latent, D] with a traced inject index."""
+    n_latent = gen.n_latent
+    kz1, kz2, kmix, kidx = jax.random.split(rng, 4)
+    z1 = jax.random.normal(kz1, (batch, cfg.latent_dim))
+    z2 = jax.random.normal(kz2, (batch, cfg.latent_dim))
+
+    def map_style(z):
+        return gen.apply({"params": g_params, "buffers": buffers}, z, method=Generator.get_latent)
+
+    w1 = map_style(z1)  # [B, D]
+    w2 = map_style(z2)
+    use_mix = jax.random.bernoulli(kmix, cfg.mixing_prob, (batch,))
+    inject = jax.random.randint(kidx, (batch,), 1, n_latent)
+    inject = jnp.where(use_mix, inject, n_latent)  # no-mix -> all w1
+
+    layer_idx = jnp.arange(n_latent)[None, :, None]  # [1, L, 1]
+    take_w2 = layer_idx >= inject[:, None, None]
+    wplus = jnp.where(take_w2, w2[:, None, :], w1[:, None, :])
+    return wplus
+
+
+def make_train_step(gen: Generator, disc: Discriminator, cfg: TrainConfig):
+    """Build the jittable train_step(state, real_imgs, rng) -> (state, metrics).
+
+    real_imgs: [num_accumulate, batch, 3, size, size] in [-1, 1].
+    """
+    g_opt = _reg_adjusted_adam(cfg.lr, cfg.g_reg_every)
+    d_opt = _reg_adjusted_adam(cfg.lr, cfg.d_reg_every)
+    zeros_like = lambda t: jax.tree_util.tree_map(jnp.zeros_like, t)
+
+    def synth(g_params, wplus, noise_rng, buffers):
+        img, _ = gen.apply(
+            {"params": g_params, "buffers": buffers},
+            wplus,
+            input_is_latent=True,
+            randomize_noise=True,
+            rngs={"noise": noise_rng},
+        )
+        return img
+
+    def d_apply(d_params, img):
+        return disc.apply({"params": d_params}, img)
+
+    # ---------------- D phase ----------------
+    def d_microbatch_loss(d_params, g_params, buffers, real, rng, ada_p):
+        kw, kn, ka1, ka2 = jax.random.split(rng, 4)
+        wplus = _mixed_wplus(gen, g_params, buffers, kw, real.shape[0], cfg)
+        fake = jax.lax.stop_gradient(synth(g_params, wplus, kn, buffers))
+        if cfg.augment:
+            fake_aug, _ = augment(fake, ada_p, rng=ka1)
+            real_aug, _ = augment(real, ada_p, rng=ka2)
+        else:
+            fake_aug, real_aug = fake, real
+        fake_pred = d_apply(d_params, fake_aug)
+        real_pred = d_apply(d_params, real_aug)
+        loss = d_logistic_loss(real_pred, fake_pred)
+        if cfg.bcr_weight > 0:
+            # balanced consistency regularization (train.py:184-189)
+            c = jnp.mean(jnp.square(real_pred - d_apply(d_params, real))) + jnp.mean(
+                jnp.square(fake_pred - d_apply(d_params, fake))
+            )
+            loss = loss + cfg.bcr_weight * c
+        aux = {
+            "d_loss": loss,
+            "real_score": jnp.mean(real_pred),
+            "fake_score": jnp.mean(fake_pred),
+            "sign_sum": jnp.sum(jnp.sign(real_pred)),
+            "n_pred": jnp.asarray(real_pred.shape[0], jnp.float32),
+        }
+        return loss / cfg.num_accumulate, aux
+
+    def d_phase(state: GANTrainState, real_imgs, rng):
+        def scan_body(carry, inp):
+            grads_acc, aux_acc = carry
+            real, key = inp
+            (_, aux), grads = jax.value_and_grad(d_microbatch_loss, has_aux=True)(
+                state.d_params, state.g_params, state.g_buffers, real, key, state.ada_p
+            )
+            grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+            aux_acc = jax.tree_util.tree_map(jnp.add, aux_acc, aux)
+            return (grads_acc, aux_acc), None
+
+        keys = jax.random.split(rng, cfg.num_accumulate)
+        init_aux = {
+            "d_loss": jnp.zeros(()),
+            "real_score": jnp.zeros(()),
+            "fake_score": jnp.zeros(()),
+            "sign_sum": jnp.zeros(()),
+            "n_pred": jnp.zeros(()),
+        }
+        (grads, aux), _ = jax.lax.scan(
+            scan_body, (zeros_like(state.d_params), init_aux), (real_imgs, keys)
+        )
+        updates, d_opt_state = d_opt.update(grads, state.d_opt_state, state.d_params)
+        d_params = optax.apply_updates(state.d_params, updates)
+        return state.replace(d_params=d_params, d_opt_state=d_opt_state), aux
+
+    # ---------------- R1 phase (lazy, cond) ----------------
+    def r1_loss_fn(d_params, real, rng, ada_p):
+        if cfg.augment:
+            real, _ = augment(real, ada_p, rng=rng)
+
+        def scalar_pred(x):
+            return jnp.sum(d_apply(d_params, x))
+
+        grad_img = jax.grad(scalar_pred)(real)
+        r1 = 0.5 * jnp.mean(jnp.sum(jnp.square(grad_img.reshape(grad_img.shape[0], -1)), axis=1))
+        return cfg.r1 * cfg.d_reg_every * r1 / cfg.num_accumulate, r1
+
+    def r1_phase(state: GANTrainState, real_imgs, rng):
+        def scan_body(carry, inp):
+            grads_acc, r1_acc = carry
+            real, key = inp
+            (_, r1), grads = jax.value_and_grad(r1_loss_fn, has_aux=True)(
+                state.d_params, real, key, state.ada_p
+            )
+            return (jax.tree_util.tree_map(jnp.add, grads_acc, grads), r1_acc + r1), None
+
+        keys = jax.random.split(rng, cfg.num_accumulate)
+        (grads, r1_sum), _ = jax.lax.scan(
+            scan_body, (zeros_like(state.d_params), jnp.zeros(())), (real_imgs, keys)
+        )
+        updates, d_opt_state = d_opt.update(grads, state.d_opt_state, state.d_params)
+        d_params = optax.apply_updates(state.d_params, updates)
+        return state.replace(d_params=d_params, d_opt_state=d_opt_state), r1_sum
+
+    # ---------------- G phase ----------------
+    def g_loss_fn(g_params, d_params, buffers, rng, ada_p, batch):
+        kw, kn, ka = jax.random.split(rng, 3)
+        wplus = _mixed_wplus(gen, g_params, buffers, kw, batch, cfg)
+        fake = synth(g_params, wplus, kn, buffers)
+        if cfg.augment:
+            fake, _ = augment(fake, ada_p, rng=ka)
+        loss = g_nonsaturating_loss(d_apply(d_params, fake))
+        return loss / cfg.num_accumulate, loss
+
+    def g_phase(state: GANTrainState, rng):
+        def scan_body(carry, key):
+            grads_acc, loss_acc = carry
+            (_, loss), grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+                state.g_params, state.d_params, state.g_buffers, key, state.ada_p, cfg.batch_size
+            )
+            return (jax.tree_util.tree_map(jnp.add, grads_acc, grads), loss_acc + loss), None
+
+        keys = jax.random.split(rng, cfg.num_accumulate)
+        (grads, loss_sum), _ = jax.lax.scan(
+            scan_body, (zeros_like(state.g_params), jnp.zeros(())), keys
+        )
+        updates, g_opt_state = g_opt.update(grads, state.g_opt_state, state.g_params)
+        g_params = optax.apply_updates(state.g_params, updates)
+        return state.replace(g_params=g_params, g_opt_state=g_opt_state), loss_sum
+
+    # ---------------- path-length phase (lazy, cond) ----------------
+    path_batch = max(1, cfg.batch_size // max(cfg.path_batch_shrink, 1))
+
+    def path_loss_fn(g_params, buffers, rng, mean_path_length):
+        kw, kn, kimg = jax.random.split(rng, 3)
+        wplus = _mixed_wplus(gen, g_params, buffers, kw, path_batch, cfg)
+
+        def image_of(lat):
+            return synth(g_params, lat, kn, buffers)
+
+        img_shape = jax.eval_shape(image_of, wplus).shape
+        h, w = img_shape[-2], img_shape[-1]
+        img_noise = jax.random.normal(kimg, img_shape) / math.sqrt(h * w)
+
+        def proj(lat):
+            return jnp.sum(image_of(lat) * img_noise)
+
+        grad_lat = jax.grad(proj)(wplus)
+        path_lengths = jnp.sqrt(jnp.mean(jnp.sum(jnp.square(grad_lat), axis=2), axis=1))
+        path_mean = mean_path_length + 0.01 * (jnp.mean(path_lengths) - mean_path_length)
+        penalty = jnp.mean(jnp.square(path_lengths - path_mean))
+        path_mean = jnp.where(jnp.isnan(path_mean), mean_path_length, path_mean)
+        loss = cfg.path_regularize * cfg.g_reg_every * penalty / cfg.num_accumulate
+        return loss, (penalty, jax.lax.stop_gradient(path_mean))
+
+    def path_phase(state: GANTrainState, rng):
+        def scan_body(carry, key):
+            grads_acc, pen_acc, mpl = carry
+            (_, (pen, mpl)), grads = jax.value_and_grad(path_loss_fn, has_aux=True)(
+                state.g_params, state.g_buffers, key, mpl
+            )
+            return (jax.tree_util.tree_map(jnp.add, grads_acc, grads), pen_acc + pen, mpl), None
+
+        keys = jax.random.split(rng, cfg.num_accumulate)
+        (grads, pen_sum, mpl), _ = jax.lax.scan(
+            scan_body,
+            (zeros_like(state.g_params), jnp.zeros(()), state.mean_path_length),
+            keys,
+        )
+        updates, g_opt_state = g_opt.update(grads, state.g_opt_state, state.g_params)
+        g_params = optax.apply_updates(state.g_params, updates)
+        return (
+            state.replace(g_params=g_params, g_opt_state=g_opt_state, mean_path_length=mpl),
+            pen_sum,
+        )
+
+    # ---------------- full step ----------------
+    def train_step(state: GANTrainState, real_imgs: Array, rng: jax.Array):
+        """real_imgs: [num_accumulate, batch, 3, size, size]."""
+        k_d, k_r1, k_g, k_path = jax.random.split(rng, 4)
+
+        state, d_aux = d_phase(state, real_imgs, k_d)
+
+        do_r1 = (cfg.r1 > 0) and True
+        if do_r1:
+            state, r1_val = jax.lax.cond(
+                state.step % cfg.d_reg_every == 0,
+                lambda s: r1_phase(s, real_imgs, k_r1),
+                lambda s: (s, jnp.zeros(())),
+                state,
+            )
+        else:
+            r1_val = jnp.zeros(())
+
+        # ADA adaptation (reference: train.py:207-224); the sign stats are
+        # global means already (batch dim sharded -> XLA all-reduces the sums)
+        if cfg.augment and cfg.augment_p == 0:
+            signs = state.ada_signs + d_aux["sign_sum"]
+            n = state.ada_n + d_aux["n_pred"]
+            new_p, signs, n, r_t = ada_adjust_p(
+                state.ada_p, signs, n, cfg.ada_target, cfg.ada_length
+            )
+            state = state.replace(ada_p=new_p, ada_signs=signs, ada_n=n)
+        else:
+            r_t = jnp.zeros(())
+
+        state, g_loss = g_phase(state, k_g)
+
+        if cfg.path_regularize > 0:
+            state, path_pen = jax.lax.cond(
+                state.step % cfg.g_reg_every == 0,
+                lambda s: path_phase(s, k_path),
+                lambda s: (s, jnp.zeros(())),
+                state,
+            )
+        else:
+            path_pen = jnp.zeros(())
+
+        # lookahead-minimax joint slow-weight sync (lookahead_minimax.py:135-186)
+        if cfg.lookahead and state.lookahead is not None:
+            la, g_params, d_params = lookahead_minimax_step(
+                state.lookahead, state.g_params, state.d_params, cfg.la_steps, cfg.la_alpha
+            )
+            state = state.replace(lookahead=la, g_params=g_params, d_params=d_params)
+
+        # EMA (reference: train.py:45-49,251)
+        g_ema = ema_update(state.g_ema_params, state.g_params, cfg.ema_decay)
+        state = state.replace(g_ema_params=g_ema, step=state.step + 1)
+
+        n_acc = cfg.num_accumulate
+        metrics = {
+            "Generator": g_loss / n_acc,
+            "Discriminator": d_aux["d_loss"] / n_acc,
+            "Real Score": d_aux["real_score"] / n_acc,
+            "Fake Score": d_aux["fake_score"] / n_acc,
+            "R1 Penalty": r1_val / n_acc,
+            "Path Length Regularization": path_pen / n_acc,
+            "Rt": r_t,
+            "Augment": state.ada_p,
+            "Mean Path Length": state.mean_path_length,
+        }
+        return state, metrics
+
+    return train_step

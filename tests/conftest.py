@@ -1,13 +1,28 @@
 """Test harness: force an 8-device virtual CPU mesh so data-parallel and
-frame-sharded code paths are exercised without TPU hardware (SURVEY.md §4)."""
+frame-sharded code paths are exercised without TPU hardware (SURVEY.md §4).
+
+The session environment registers a tunneled real TPU chip ('axon' platform)
+via sitecustomize and pins jax_platforms='axon,cpu' — tests must NOT run over
+that tunnel, so we re-point the config at cpu and drop any initialized
+backends before the CPU client (and its device-count flag) is created.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
-import jax  # noqa: E402  (import after env setup)
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    from jax.extend.backend import clear_backends  # noqa: E402
+
+    clear_backends()
+except Exception:
+    pass
 
 jax.config.update("jax_enable_x64", False)
+
+assert jax.devices()[0].platform == "cpu", jax.devices()

@@ -1,0 +1,78 @@
+"""Data pipeline tests: record format round-trip, dataset decode, prepare_data
+conversion, loader batching."""
+
+import os
+
+import numpy as np
+import pytest
+
+from maua_tpu.data import (
+    DataLoader,
+    MultiResolutionRecordDataset,
+    RecordShardReader,
+    RecordShardWriter,
+    prepare_data,
+)
+
+
+def test_record_shard_roundtrip(tmp_path):
+    p = str(tmp_path / "x-64-0000.mrec")
+    blobs = [bytes([i]) * (i + 1) for i in range(10)]
+    with RecordShardWriter(p) as w:
+        for b in blobs:
+            w.append(b)
+    r = RecordShardReader(p)
+    assert len(r) == 10
+    for i, b in enumerate(blobs):
+        assert r.get(i) == b
+
+
+@pytest.fixture(scope="module")
+def image_folder(tmp_path_factory):
+    import cv2
+
+    folder = tmp_path_factory.mktemp("imgs")
+    rng = np.random.RandomState(0)
+    for i in range(6):
+        img = (rng.rand(80, 100, 3) * 255).astype(np.uint8)
+        cv2.imwrite(str(folder / f"img_{i}.png"), img)
+    return str(folder)
+
+
+def test_prepare_data_and_dataset(image_folder, tmp_path):
+    out = str(tmp_path / "shards")
+    n = prepare_data(image_folder, out, sizes=(32, 64), n_workers=1, shard_size=4)
+    assert n == 6
+
+    ds = MultiResolutionRecordDataset(out, resolution=32)
+    assert len(ds) == 6
+    img = ds[0]
+    assert img.shape == (3, 32, 32)
+    assert img.dtype == np.float32
+    assert -1.0 <= img.min() and img.max() <= 1.0
+
+    ds64 = MultiResolutionRecordDataset(out, resolution=64)
+    assert ds64[3].shape == (3, 64, 64)
+
+
+def test_corrupt_record_retry(tmp_path):
+    p = str(tmp_path / "bad-16-0000.mrec")
+    import cv2
+
+    good = cv2.imencode(".jpg", np.zeros((16, 16, 3), np.uint8))[1].tobytes()
+    with RecordShardWriter(p) as w:
+        w.append(b"not a jpeg")
+        w.append(good)
+    ds = MultiResolutionRecordDataset(str(tmp_path), resolution=16)
+    img = ds[0]  # retries onto the good record
+    assert img.shape == (3, 16, 16)
+
+
+def test_loader_superbatch_shape(image_folder, tmp_path):
+    out = str(tmp_path / "shards")
+    prepare_data(image_folder, out, sizes=(32,), n_workers=1)
+    ds = MultiResolutionRecordDataset(out, resolution=32)
+    dl = DataLoader(ds, batch_size=2, num_accumulate=2, num_workers=2, prefetch=1)
+    batch = next(dl)
+    assert batch.shape == (2, 2, 3, 32, 32)
+    dl.close()

@@ -1,0 +1,113 @@
+"""Eval metric tests: Fréchet distance math, PRDC sanity, PPL pipeline, and
+feature-net architecture/ingestion shape checks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from maua_tpu.eval import (
+    LPIPS,
+    compute_stats,
+    fid,
+    fid_from_features,
+    frechet_distance,
+    ppl,
+    prdc,
+)
+
+
+def test_frechet_distance_identical_is_zero():
+    rng = np.random.RandomState(0)
+    f = rng.randn(500, 16)
+    mu, sigma = compute_stats(f)
+    assert frechet_distance(mu, sigma, mu, sigma) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_frechet_distance_mean_shift():
+    """For identical covariance, FID = ||mu1-mu2||²."""
+    rng = np.random.RandomState(0)
+    f = rng.randn(2000, 8)
+    mu, sigma = compute_stats(f)
+    shift = np.full(8, 0.5)
+    d = frechet_distance(mu, sigma, mu + shift, sigma)
+    assert d == pytest.approx(float(shift @ shift), rel=1e-6)
+
+
+def test_fid_from_features_monotone_in_shift():
+    rng = np.random.RandomState(0)
+    real = rng.randn(1000, 8)
+    stats = compute_stats(real)
+    near = rng.randn(1000, 8) * 1.0
+    far = rng.randn(1000, 8) + 3.0
+    assert fid_from_features(near, *stats) < fid_from_features(far, *stats)
+
+
+def test_prdc_identical_distributions():
+    rng = np.random.RandomState(0)
+    real = rng.randn(200, 4)
+    fake = rng.randn(200, 4)
+    out = prdc(real, fake, nearest_k=5)
+    assert 0.8 < out["precision"] <= 1.0
+    assert 0.8 < out["recall"] <= 1.0
+    assert out["coverage"] > 0.8
+    far = prdc(real, fake + 10.0, nearest_k=5)
+    assert far["precision"] < 0.1 and far["coverage"] < 0.1
+
+
+def test_fid_sampling_loop():
+    """fid() end-to-end with a toy 'generator' and identity features."""
+    real_feats = np.random.RandomState(0).randn(500, 6).astype(np.float32)
+    stats = compute_stats(real_feats)
+
+    def synthesize(key, batch):
+        return jax.random.normal(key, (batch, 6))
+
+    out = fid(synthesize, lambda x: x, stats, n_sample=300, batch_size=50)
+    assert out["fid"] < 1.0  # same distribution -> small
+
+
+def test_ppl_smooth_vs_wild_mapping():
+    """A smoother image-from-w map must score lower PPL."""
+
+    def mk(scale):
+        def synthesize_from_w(w):
+            return jnp.tanh(w[:, :4] * scale).reshape(-1, 1, 2, 2)
+
+        return synthesize_from_w
+
+    def map_latents(key, n):
+        return jax.random.normal(key, (n, 8))
+
+    def dist(a, b):
+        return jnp.sum(jnp.square(a - b), axis=(1, 2, 3))
+
+    smooth = ppl(mk(0.1), map_latents, dist, n_sample=64, batch_size=16)
+    wild = ppl(mk(3.0), map_latents, dist, n_sample=64, batch_size=16)
+    assert smooth < wild
+
+
+def test_lpips_architecture_zero_for_identical():
+    lp = LPIPS(net="alex")
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 64, 64))
+    params = lp.init(jax.random.PRNGKey(1), x, x)
+    d_same = lp.apply(params, x, x)
+    np.testing.assert_allclose(np.asarray(d_same), 0.0, atol=1e-6)
+    y = jax.random.normal(jax.random.PRNGKey(2), (2, 3, 64, 64))
+    d_diff = np.asarray(lp.apply(params, x, y))
+    assert (d_diff > 0).all()
+
+
+@pytest.mark.slow
+def test_inception_architecture_shapes():
+    from maua_tpu.eval import InceptionV3
+
+    net = InceptionV3()
+    x = jnp.zeros((1, 3, 299, 299))
+    params = net.init(jax.random.PRNGKey(0), x)
+    feats = net.apply(params, x)
+    assert feats.shape == (1, 2048)
+    # resize preprocessing from generator-native size
+    img = jnp.zeros((2, 3, 64, 64))
+    feats2 = net.apply(params, InceptionV3.preprocess(img))
+    assert feats2.shape == (2, 2048)

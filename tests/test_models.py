@@ -118,7 +118,7 @@ def test_modulated_conv_upsample_matches_per_sample():
 
 @pytest.fixture(scope="module")
 def tiny_gen():
-    gen = Generator(size=32, style_dim=64, n_mlp=2, channel_multiplier=1, constant_input=True)
+    gen = Generator(size=32, style_dim=64, n_mlp=2, channel_multiplier=1, constant_input=True, channel_max=64)
     z = jnp.zeros((2, 64))
     variables = gen.init({"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, z)
     return gen, variables
@@ -219,7 +219,7 @@ def test_generator_map_latents(tiny_gen):
 
 
 def test_generator_latent_input_noconst():
-    gen = Generator(size=16, style_dim=32, n_mlp=1, channel_multiplier=1, constant_input=False)
+    gen = Generator(size=16, style_dim=32, n_mlp=1, channel_multiplier=1, constant_input=False, channel_max=32)
     z = jnp.zeros((2, 32))
     variables = gen.init({"params": jax.random.PRNGKey(0)}, z, randomize_noise=False)
     img, _ = gen.apply(variables, jax.random.normal(jax.random.PRNGKey(1), (2, 32)), randomize_noise=False)
@@ -227,7 +227,7 @@ def test_generator_latent_input_noconst():
 
 
 def test_generator_min_rgb_size():
-    gen = Generator(size=16, style_dim=32, n_mlp=1, channel_multiplier=1, constant_input=True, min_rgb_size=8)
+    gen = Generator(size=16, style_dim=32, n_mlp=1, channel_multiplier=1, constant_input=True, min_rgb_size=8, channel_max=32)
     z = jnp.zeros((1, 32))
     variables = gen.init({"params": jax.random.PRNGKey(0)}, z, randomize_noise=False)
     img, _ = gen.apply(variables, z, randomize_noise=False)
@@ -235,7 +235,7 @@ def test_generator_min_rgb_size():
 
 
 def test_discriminator_shapes_and_odd_batch():
-    disc = Discriminator(size=32, channel_multiplier=1)
+    disc = Discriminator(size=32, channel_multiplier=1, channel_max=64)
     x = jax.random.normal(jax.random.PRNGKey(0), (4, 3, 32, 32))
     params = disc.init(jax.random.PRNGKey(1), x)
     out = disc.apply(params, x)

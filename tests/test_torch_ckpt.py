@@ -61,7 +61,7 @@ def _flax_gen_to_torch_sd(variables, gen):
 
 @pytest.mark.parametrize("constant_input", [True, False])
 def test_generator_roundtrip(constant_input):
-    gen = Generator(size=32, style_dim=64, n_mlp=2, channel_multiplier=1, constant_input=constant_input)
+    gen = Generator(size=32, style_dim=64, n_mlp=2, channel_multiplier=1, constant_input=constant_input, channel_max=64)
     z = jnp.zeros((1, 64))
     variables = gen.init({"params": jax.random.PRNGKey(0)}, z, randomize_noise=False)
     sd = _flax_gen_to_torch_sd(variables, gen)
@@ -88,7 +88,7 @@ def test_generator_roundtrip(constant_input):
 
 
 def test_discriminator_roundtrip():
-    disc = Discriminator(size=32, channel_multiplier=1)
+    disc = Discriminator(size=32, channel_multiplier=1, channel_max=64)
     x = jnp.zeros((2, 3, 32, 32))
     variables = disc.init(jax.random.PRNGKey(0), x)
     p = variables["params"]

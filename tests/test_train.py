@@ -1,0 +1,144 @@
+"""Training-stack tests: losses, lookahead, EMA, ADA, and the full train step
+on an 8-device virtual CPU mesh (SURVEY.md §4 test strategy)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from maua_tpu.parallel import get_mesh, shard_batch
+from maua_tpu.train import (
+    ada_adjust_p,
+    augment,
+    d_logistic_loss,
+    ema_update,
+    g_nonsaturating_loss,
+    init_train_state,
+    lookahead_minimax_init,
+    lookahead_minimax_step,
+    make_train_config,
+    make_train_step,
+)
+from maua_tpu.train.augment import sample_affine, sample_color, apply_color, apply_affine
+
+
+def test_d_logistic_loss_matches_softplus():
+    real = jnp.array([1.0, -2.0])
+    fake = jnp.array([0.5, 3.0])
+    expect = np.mean(np.log1p(np.exp(-np.asarray(real)))) + np.mean(
+        np.log1p(np.exp(np.asarray(fake)))
+    )
+    np.testing.assert_allclose(d_logistic_loss(real, fake), expect, rtol=1e-6)
+    np.testing.assert_allclose(
+        g_nonsaturating_loss(fake), np.mean(np.log1p(np.exp(-np.asarray(fake)))), rtol=1e-6
+    )
+
+
+def test_ema_update():
+    ema = {"w": jnp.ones(3)}
+    p = {"w": jnp.zeros(3)}
+    out = ema_update(ema, p, decay=0.9)
+    np.testing.assert_allclose(out["w"], 0.9 * np.ones(3), rtol=1e-6)
+
+
+def test_lookahead_minimax_sync_every_k():
+    g = {"w": jnp.zeros(2)}
+    d = {"w": jnp.zeros(2)}
+    state = lookahead_minimax_init(g, d)
+    # drift fast weights to 1.0; after k=3 steps they pull back halfway
+    fast_g = {"w": jnp.ones(2)}
+    fast_d = {"w": 2 * jnp.ones(2)}
+    for i in range(3):
+        state, out_g, out_d = lookahead_minimax_step(state, fast_g, fast_d, k=3, alpha=0.5)
+    np.testing.assert_allclose(out_g["w"], 0.5 * np.ones(2))
+    np.testing.assert_allclose(out_d["w"], 1.0 * np.ones(2))
+    # slow cache refreshed to the interpolated point
+    np.testing.assert_allclose(state.slow_g["w"], 0.5 * np.ones(2))
+
+
+def test_ada_adjust_p_moves_toward_target():
+    p = jnp.asarray(0.1)
+    # overfit signal: all real preds positive -> r_t = 1 > 0.6 -> p up
+    new_p, signs, n, r_t = ada_adjust_p(p, jnp.asarray(300.0), jnp.asarray(300.0))
+    assert float(new_p) > 0.1
+    assert float(signs) == 0.0 and float(n) == 0.0
+    assert float(r_t) == pytest.approx(1.0)
+    # under threshold: no change
+    new_p2, signs2, n2, _ = ada_adjust_p(p, jnp.asarray(10.0), jnp.asarray(100.0))
+    assert float(new_p2) == pytest.approx(0.1)
+    assert float(n2) == pytest.approx(100.0)
+
+
+def test_sample_affine_p0_identity():
+    G = sample_affine(jax.random.PRNGKey(0), 0.0, 4, 32, 32)
+    np.testing.assert_allclose(G, np.tile(np.eye(3), (4, 1, 1)), atol=1e-6)
+    C = sample_color(jax.random.PRNGKey(1), 0.0, 4)
+    np.testing.assert_allclose(C, np.tile(np.eye(4), (4, 1, 1)), atol=1e-6)
+
+
+def test_apply_color_identity_and_brightness():
+    img = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 8, 8))
+    C = jnp.tile(jnp.eye(4)[None], (2, 1, 1))
+    np.testing.assert_allclose(apply_color(img, C), img, atol=1e-6)
+    Cb = C.at[:, :3, 3].set(0.5)
+    np.testing.assert_allclose(apply_color(img, Cb), img + 0.5, atol=1e-6)
+
+
+def test_apply_affine_identity_roundtrip():
+    """Identity affine through the oversample/resample path must approximately
+    preserve the image interior (the SYM6 up/down cascade is near-unitary)."""
+    img = jax.random.normal(jax.random.PRNGKey(0), (1, 3, 32, 32))
+    G = jnp.tile(jnp.eye(3)[None], (1, 1, 1))
+    out = apply_affine(img, G)
+    assert out.shape == img.shape
+    err = np.abs(np.asarray(out - img))[:, :, 4:-4, 4:-4]
+    assert err.mean() < 0.05, err.mean()
+
+
+def test_augment_grad_flows():
+    """D augmentation must be differentiable for the G pass
+    (reference: train.py:231-236)."""
+    img = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 16, 16))
+
+    def f(x):
+        out, _ = augment(x, 0.5, rng=jax.random.PRNGKey(1))
+        return jnp.sum(out**2)
+
+    g = jax.grad(f)(img)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).sum() > 0
+
+
+@pytest.mark.slow
+def test_train_step_end_to_end_mesh():
+    """One full train step (D + R1 + ADA + G + path + lookahead + EMA) at 32²
+    on the 8-device CPU mesh; checks finiteness and that params moved."""
+    cfg = make_train_config(
+        size=16,
+        channel_max=32,
+        batch_size=8,
+        num_accumulate=1,
+        augment=False,  # augment autodiff is covered by test_augment_grad_flows
+        lookahead=True,
+        la_steps=2,
+        d_reg_every=1,
+        g_reg_every=1,
+    )
+    state, gen, disc = init_train_state(jax.random.PRNGKey(0), cfg)
+    step = jax.jit(make_train_step(gen, disc, cfg))
+
+    mesh = get_mesh()
+    real = jax.random.normal(
+        jax.random.PRNGKey(1), (cfg.num_accumulate, cfg.batch_size, 3, 16, 16)
+    )
+    real = shard_batch(real, mesh)  # accum dim not sharded (2 % 8 != 0) -> replicated
+
+    g0 = jax.tree_util.tree_leaves(state.g_params)[0].copy()
+    state, metrics = step(state, real, jax.random.PRNGKey(2))
+    state, metrics = step(state, real, jax.random.PRNGKey(3))
+
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, v)
+    assert int(state.step) == 2
+    g1 = jax.tree_util.tree_leaves(state.g_params)[0]
+    assert not np.allclose(np.asarray(g0), np.asarray(g1))
