@@ -1,6 +1,7 @@
 """Benchmark: 1024² StyleGAN2 synthesis throughput on the attached TPU chip.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} for the
+flagship fast path (bf16 synthesis); extra context lines go to stderr.
 Baseline: the driver's north-star of 60 frames/sec/chip at 1024²
 (BASELINE.md — the reference publishes no numbers of its own).
 """
@@ -8,24 +9,27 @@ Baseline: the driver's north-star of 60 frames/sec/chip at 1024²
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import jax
+
+# persistent compile cache: the 1024² generator takes minutes to compile
+# through the TPU tunnel; cache hits make repeat bench runs start in seconds
+os.makedirs("/root/.cache/jax_comp_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 BASELINE_FPS = 60.0
 
 
-def main() -> int:
+def bench_dtype(dtype, batch: int = 8, n_iters: int = 10) -> float:
     from maua_tpu.models import Generator
 
-    size = 1024
-    batch = 8
-    n_iters = 10
-
-    gen = Generator(size=size, constant_input=True)
-    cpu = jax.devices("cpu")[0] if any(d.platform == "cpu" for d in jax.devices()) else None
+    gen = Generator(size=1024, constant_input=True, dtype=dtype)
     init_rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}
     variables = jax.jit(lambda: gen.init(init_rngs, jnp.zeros((1, 512))))()
 
@@ -34,25 +38,30 @@ def main() -> int:
         img, _ = gen.apply(variables, z, randomize_noise=False)
         return img
 
-    z = jax.random.normal(jax.random.PRNGKey(2), (batch, 512))
-
-    # warmup/compile
-    synth(z).block_until_ready()
+    # distinct latents per step — the tunneled runtime dedupes repeat
+    # dispatches of identical inputs, which inflates naive loops 1000x
+    zs = [jax.random.normal(jax.random.PRNGKey(2 + i), (batch, 512)) for i in range(n_iters)]
+    jax.block_until_ready(zs)
+    synth(zs[0]).block_until_ready()  # compile + warmup
 
     t0 = time.time()
-    for i in range(n_iters):
-        out = synth(z)
-    out.block_until_ready()
+    outs = [synth(z) for z in zs]
+    jax.block_until_ready(outs)
     dt = time.time() - t0
+    return batch * n_iters / dt
 
-    fps = batch * n_iters / dt
+
+def main() -> int:
+    fps_bf16 = bench_dtype(jnp.bfloat16)
+    print(f"bf16 1024^2 synth: {fps_bf16:.2f} frames/s", file=sys.stderr)
+
     print(
         json.dumps(
             {
                 "metric": "synth_1024_frames_per_sec_per_chip",
-                "value": round(fps, 2),
+                "value": round(fps_bf16, 2),
                 "unit": "frames/s",
-                "vs_baseline": round(fps / BASELINE_FPS, 3),
+                "vs_baseline": round(fps_bf16 / BASELINE_FPS, 3),
             }
         )
     )

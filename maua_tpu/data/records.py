@@ -114,8 +114,9 @@ class MultiResolutionRecordDataset:
                 if img is None:
                     raise ValueError("decode failed")
                 img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-                out = img.astype(np.float32).transpose(2, 0, 1) / 127.5 - 1.0
-                return out
+                from ..native import hwc_u8_to_chw_f32
+
+                return hwc_u8_to_chw_f32(img[None])[0]
             except Exception:
                 index = int(self._rng.randint(len(self)))
         raise RuntimeError("too many corrupt records")

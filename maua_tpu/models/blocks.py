@@ -33,6 +33,12 @@ from ..ops.upfirdn2d import setup_filter, upfirdn2d
 Array = jnp.ndarray
 DEFAULT_BLUR_KERNEL = (1, 3, 3, 1)
 
+def _conv_precision(x: Array):
+    """HIGHEST (true fp32, 6-pass on TPU) for fp32 parity mode; native single-
+    pass MXU for bf16 fast mode."""
+    return None if x.dtype == jnp.bfloat16 else lax.Precision.HIGHEST
+
+
 
 def pixel_norm(x: Array, eps: float = 1e-8) -> Array:
     """x * rsqrt(mean(x^2, channel) + eps) (reference: models/stylegan2.py:15-20)."""
@@ -62,7 +68,7 @@ class EqualLinear(nn.Module):
         b = None
         if self.use_bias:
             b = self.param("bias", nn.initializers.constant(self.bias_init), (self.out_dim,))
-        out = jnp.dot(x, (w * scale).astype(x.dtype), precision=lax.Precision.HIGHEST)
+        out = jnp.dot(x, (w * scale).astype(x.dtype), precision=_conv_precision(x))
         if self.activation == "fused_lrelu":
             return fused_leaky_relu(out, b * self.lr_mul if b is not None else None)
         if b is not None:
@@ -94,7 +100,7 @@ class EqualConv2d(nn.Module):
             window_strides=(self.stride, self.stride),
             padding=((self.padding, self.padding), (self.padding, self.padding)),
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
-            precision=lax.Precision.HIGHEST,
+            precision=_conv_precision(x),
         )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_channel,))
@@ -163,7 +169,7 @@ def _conv_transpose2d_nchw(x: Array, w_oihw: Array, stride: int) -> Array:
         padding=((kh - 1, kh - 1), (kw - 1, kw - 1)),
         lhs_dilation=(stride, stride),
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        precision=lax.Precision.HIGHEST,
+        precision=_conv_precision(x),
     )
 
 
@@ -201,8 +207,11 @@ class ModulatedConv2d(nn.Module):
         if self.demodulate:
             # sum_k (scale*W)^2 over spatial -> [out, in]; per-sample demod via
             # one small matmul instead of materializing per-sample weights.
+            # always fp32: rsqrt of near-cancelling sums is precision-critical
             w_sq = jnp.sum(jnp.square(weight * scale), axis=(2, 3))  # [O, I]
-            sigma = jnp.dot(jnp.square(s), w_sq.T, precision=lax.Precision.HIGHEST)  # [B, O]
+            sigma = jnp.dot(
+                jnp.square(s.astype(jnp.float32)), w_sq.T, precision=lax.Precision.HIGHEST
+            )  # [B, O]
             demod = lax.rsqrt(sigma + self.eps)
 
         x = x * s[:, :, None, None].astype(x.dtype)
@@ -232,7 +241,7 @@ class ModulatedConv2d(nn.Module):
                 window_strides=(2, 2),
                 padding="VALID",
                 dimension_numbers=("NCHW", "OIHW", "NCHW"),
-                precision=lax.Precision.HIGHEST,
+                precision=_conv_precision(x),
             )
             if self.demodulate:
                 out = out * demod[:, :, None, None].astype(out.dtype)
@@ -244,7 +253,7 @@ class ModulatedConv2d(nn.Module):
                 window_strides=(1, 1),
                 padding=((pad, pad), (pad, pad)),
                 dimension_numbers=("NCHW", "OIHW", "NCHW"),
-                precision=lax.Precision.HIGHEST,
+                precision=_conv_precision(x),
             )
             if self.demodulate:
                 out = out * demod[:, :, None, None].astype(out.dtype)

@@ -115,6 +115,7 @@ class Generator(nn.Module):
     output_size: Optional[int] = None
     base_res_factor: float = 1
     channel_max: int = 512
+    dtype: Any = jnp.float32  # synthesis compute dtype; bf16 = TPU fast path
 
     @property
     def log_size(self) -> int:
@@ -253,10 +254,15 @@ class Generator(nn.Module):
         activation_maps = []
 
         # --- synthesis (models/stylegan2.py:545-569) ---
+        # mapping/truncation stay fp32; synthesis runs in self.dtype (bf16 on
+        # TPU keeps the MXU in native precision; fp32 for 1e-3 parity mode)
         if self.constant_input:
             out = self.g_input(latent.shape[0])
         else:
             out = self.g_input(latent)
+        out = out.astype(self.dtype)
+        latent = latent.astype(self.dtype)
+        noise = [None if n is None else n.astype(self.dtype) for n in noise]
         out = apply_bends(out, 0, bends)
         out = self.conv1(out, latent[:, 0], noise=noise[0], bends=bends)
         activation_maps.append(out)
@@ -276,10 +282,11 @@ class Generator(nn.Module):
                 image = to_rgb(out, latent[:, i + 2], image)
             i += 2
 
+        image = image.astype(jnp.float32)
         if return_activation_maps:
             return image, activation_maps
         if return_latents:
-            return image, latent
+            return image, latent.astype(jnp.float32)
         return image, None
 
 

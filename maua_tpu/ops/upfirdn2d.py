@@ -121,7 +121,7 @@ def upfirdn2d(x: jnp.ndarray, kernel: jnp.ndarray, up=1, down=1, pad=(0, 0)) -> 
             lhs_dilation=(up_y, up_x),
             rhs_dilation=(1, 1),
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
-            precision=lax.Precision.HIGHEST,
+            precision=None if x.dtype == jnp.bfloat16 else lax.Precision.HIGHEST,
         )
         return out.reshape(n, c, out.shape[2], out.shape[3])
 
@@ -145,7 +145,7 @@ def upfirdn2d(x: jnp.ndarray, kernel: jnp.ndarray, up=1, down=1, pad=(0, 0)) -> 
         window_strides=(down_y, down_x),
         padding=((0, 0), (0, 0)),
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        precision=lax.Precision.HIGHEST,
+        precision=None if x.dtype == jnp.bfloat16 else lax.Precision.HIGHEST,
     )
     return out.reshape(n, c, out.shape[2], out.shape[3])
 
