@@ -87,7 +87,10 @@ class LogCoshVAE(nn.Module):
         z = mu + std * jax.random.normal(rng, std.shape)
 
         d = nn.Dense(self.hidden_dims[-1] * 4, name="decoder_input")(z)
-        d = d.reshape(-1, self.latent_dim, 2, 2)
+        # the reference reshapes to (-1, latent_dim, 2, 2) (autoencoder.py:116),
+        # which silently breaks whenever latent_dim != hidden_dims[-1]; use the
+        # dimension the Dense actually produced
+        d = d.reshape(-1, self.hidden_dims[-1], 2, 2)
         rev = list(reversed(self.hidden_dims))
         for i in range(len(rev) - 1):
             d = _upsample2x(d)
@@ -114,25 +117,36 @@ _SEG_ENC = [(64, 2), (128, 2), (256, 3), (512, 3), (512, 3)]
 _SEG_DEC = [(512, 3), (512, 2, 256), (256, 2, 128), (128, 1, 64), (64, 1, None)]
 
 
+def _seg_dec_chans(in_channels: int) -> list[tuple[int, ...]]:
+    return [(512, 512, 512), (512, 512, 256), (256, 256, 128), (128, 64), (64, in_channels)]
+
+
 class ConvSegNet(nn.Module):
-    """VGG-ish conv autoencoder (reference: autoencoder.py:337-398)."""
+    """VGG-ish conv autoencoder (reference: autoencoder.py:337-398).
+
+    width_mult scales all hidden widths (1.0 = reference widths) — small
+    configs for tests / fast sweeps."""
 
     in_channels: int = 3
+    width_mult: float = 1.0
+
+    def _w(self, ch: int) -> int:
+        return max(4, int(ch * self.width_mult))
 
     @nn.compact
     def __call__(self, x: Array, train: bool = True) -> Array:
         h = x
         for bi, (ch, n) in enumerate(_SEG_ENC):
             for ci in range(n):
-                h = ConvBN(ch, 3, name=f"enc{bi}_{ci}")(h, train)
+                h = ConvBN(self._w(ch), 3, name=f"enc{bi}_{ci}")(h, train)
             h = _maxpool2(h)
         h = jnp.tanh(h)
 
-        chans = [(512, 512, 512), (512, 512, 256), (256, 256, 128), (128, 64), (64, self.in_channels)]
-        for bi, chs in enumerate(chans):
+        for bi, chs in enumerate(_seg_dec_chans(self.in_channels)):
             h = _upsample2x(h)
             for ci, ch in enumerate(chs):
-                h = ConvBN(ch, 3, name=f"dec{bi}_{ci}")(h, train)
+                w = ch if (bi == len(_seg_dec_chans(3)) - 1 and ci == len(chs) - 1) else self._w(ch)
+                h = ConvBN(w, 3, name=f"dec{bi}_{ci}")(h, train)
         return h
 
 
@@ -141,16 +155,21 @@ class VariationalConvSegNet(nn.Module):
     tanh decoder; latent is 512·4·4 at 128² input."""
 
     in_channels: int = 3
+    width_mult: float = 1.0
+
+    def _w(self, ch: int) -> int:
+        return max(4, int(ch * self.width_mult))
 
     @nn.compact
     def __call__(self, x: Array, rng: Optional[jax.Array] = None, train: bool = True):
         h = x
         for bi, (ch, n) in enumerate(_SEG_ENC):
             for ci in range(n):
-                h = ConvBN(ch, 3, name=f"enc{bi}_{ci}")(h, train)
+                h = ConvBN(self._w(ch), 3, name=f"enc{bi}_{ci}")(h, train)
             h = _maxpool2(h)
         h = jnp.tanh(h)
         spatial = h.shape[-1]
+        enc_ch = h.shape[1]
         flat = h.reshape(h.shape[0], -1)
         dim = flat.shape[1]
         mu = nn.Dense(dim, name="fc_mu")(flat)
@@ -159,12 +178,12 @@ class VariationalConvSegNet(nn.Module):
             rng = self.make_rng("latent")
         z = mu + jnp.exp(0.5 * log_var) * jax.random.normal(rng, mu.shape)
 
-        h = z.reshape(-1, 512, spatial, spatial)
-        chans = [(512, 512, 512), (512, 512, 256), (256, 256, 128), (128, 64), (64, self.in_channels)]
-        for bi, chs in enumerate(chans):
+        h = z.reshape(-1, enc_ch, spatial, spatial)
+        for bi, chs in enumerate(_seg_dec_chans(self.in_channels)):
             h = _upsample2x(h)
             for ci, ch in enumerate(chs):
-                h = ConvBN(ch, 3, name=f"dec{bi}_{ci}")(h, train)
+                w = ch if (bi == len(_seg_dec_chans(3)) - 1 and ci == len(chs) - 1) else self._w(ch)
+                h = ConvBN(w, 3, name=f"dec{bi}_{ci}")(h, train)
         return jnp.tanh(h), mu, log_var
 
 

@@ -17,8 +17,11 @@ def initialize(args):
 
 
 def get_latents(selection, args):
-    chroma = ar.chroma(args.audio, args.sr, args.n_frames)
-    chroma_latents = chroma_weight_latents(chroma, jnp.asarray(selection)[: chroma.shape[1]])
+    # chroma needs one latent per note (reference latent.py:15-26 docstring);
+    # subset the scale when fewer latents were selected
+    n_notes = min(12, len(selection))
+    chroma = ar.chroma(args.audio, args.sr, args.n_frames, notes=n_notes)
+    chroma_latents = chroma_weight_latents(chroma, jnp.asarray(selection)[:n_notes])
     latents = ar.gaussian_filter(chroma_latents, 4)
 
     lo = args.lo_onsets[:, None, None]

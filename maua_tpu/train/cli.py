@@ -99,13 +99,35 @@ def train_loop(args) -> None:
 
     sample_z = jax.random.normal(jax.random.PRNGKey(args.seed + 1), (args.n_sample, cfg.latent_dim))
 
+    # observability: phase-level trace capture + out-of-band device monitor
+    # (reference: train_profile.py NVTX phases, gpumon.py daemon)
+    monitor = None
+    if args.monitor:
+        from ..telemetry.monitor import DeviceMonitor
+
+        monitor = DeviceMonitor(os.path.join(args.run_dir, "tpumon.jsonl"), wandb_run=wandb_run).start()
+    trace_ctx = None
+    if args.profile:
+        from ..telemetry import profile_trace
+
+        trace_ctx = profile_trace(os.path.join(args.run_dir, "trace"))
+        trace_ctx.__enter__()
+
+    from ..telemetry import phase
+
     rng = jax.random.PRNGKey(args.seed + 2)
     start = int(state.step)
     t_last = time.time()
     for i in range(start, args.iter):
-        real = next(loader)
+        with phase("data"):
+            real = next(loader)
         rng, key = jax.random.split(rng)
-        state, metrics = step_fn(state, real, key)
+        with phase("train_step"):
+            state, metrics = step_fn(state, real, key)
+        if args.profile and i - start >= args.profile_iters:
+            trace_ctx.__exit__(None, None, None)
+            trace_ctx = None
+            args.profile = False
 
         if is_main_process() and (i % args.log_every == 0):
             jax.block_until_ready(metrics)
@@ -134,6 +156,10 @@ def train_loop(args) -> None:
         save_checkpoint(args.run_dir, state)
     loader.close()
     metrics_file.close()
+    if monitor is not None:
+        monitor.stop()
+    if trace_ctx is not None:
+        trace_ctx.__exit__(None, None, None)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -174,6 +200,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--wandb", action="store_true")
     p.add_argument("--wandb_project", type=str, default="maua_tpu")
+    p.add_argument("--profile", action="store_true", help="capture an xprof trace of the first iters")
+    p.add_argument("--profile_iters", type=int, default=5)
+    p.add_argument("--monitor", action="store_true", help="background HBM/RSS monitor to tpumon.jsonl")
     return p
 
 

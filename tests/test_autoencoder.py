@@ -16,7 +16,7 @@ from maua_tpu.models.autoencoder import (
 
 def test_logcosh_vae_roundtrip_and_loss():
     model = LogCoshVAE(hidden_dims=(8, 16, 32, 64, 128), latent_dim=128)
-    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 64, 64))
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 3, 64, 64))
     variables = model.init(
         {"params": jax.random.PRNGKey(1), "latent": jax.random.PRNGKey(2)}, x
     )
@@ -34,7 +34,7 @@ def test_logcosh_vae_roundtrip_and_loss():
 
 
 def test_conv_segnet_shapes():
-    model = ConvSegNet()
+    model = ConvSegNet(width_mult=0.125)
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 3, 64, 64))
     variables = model.init(jax.random.PRNGKey(1), x)
     out, _ = model.apply(variables, x, mutable=["batch_stats"])
@@ -42,7 +42,7 @@ def test_conv_segnet_shapes():
 
 
 def test_variational_conv_segnet_shapes():
-    model = VariationalConvSegNet()
+    model = VariationalConvSegNet(width_mult=0.125)
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 3, 64, 64))
     variables = model.init(
         {"params": jax.random.PRNGKey(1), "latent": jax.random.PRNGKey(2)}, x
@@ -56,7 +56,7 @@ def test_variational_conv_segnet_shapes():
 
 
 def test_inception_vae_shapes():
-    model = InceptionVAE(base=16, latent_dim=64, n_down=3)
+    model = InceptionVAE(base=8, latent_dim=32, n_down=2)
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 32, 32))
     variables = model.init(
         {"params": jax.random.PRNGKey(1), "latent": jax.random.PRNGKey(2)}, x
@@ -65,4 +65,4 @@ def test_inception_vae_shapes():
         variables, x, rngs={"latent": jax.random.PRNGKey(3)}, mutable=["batch_stats"]
     )
     assert out.shape == x.shape
-    assert mu.shape == (2, 64)
+    assert mu.shape == (2, 32)

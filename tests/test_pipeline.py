@@ -103,3 +103,47 @@ def test_write_video_roundtrip(tmp_path):
     out = str(tmp_path / "clip.mp4")
     write_video(arr, out, fps=8)
     assert os.path.exists(out) or os.path.exists(out + ".npy")
+
+
+def test_cli_plugin_loading_and_override(tiny_ckpt, tiny_wav, tmp_path):
+    """Plugin protocol: functions loaded from file, OVERRIDE wins over CLI
+    (reference: generate_audiovisual.py:266-299)."""
+    from maua_tpu.pipeline.cli import load_plugin
+
+    plugin = tmp_path / "plug.py"
+    plugin.write_text(
+        "OVERRIDE = dict(fps=2)\n"
+        "def get_truncation(args):\n"
+        "    import numpy as np\n"
+        "    return np.linspace(0.5, 1.0, args.n_frames).astype('float32')\n"
+    )
+    funcs, override = load_plugin(str(plugin))
+    assert override == {"fps": 2}
+    assert funcs["get_truncation"] is not None
+    assert funcs["get_latents"] is None
+
+
+def test_generate_with_bends_plugin(tiny_ckpt, tiny_wav, tmp_path):
+    """End-to-end with a translate bend timeline (the tauceti pattern)."""
+    import jax.numpy as jnp
+
+    from maua_tpu.pipeline import generate as gen_mod
+    from maua_tpu.reactive import translate_bend
+
+    def get_bends(args):
+        mod = jnp.linspace(0, 1, args.n_frames)
+        return [translate_bend(2, modulation=mod)]
+
+    out = generate(
+        ckpt=tiny_ckpt,
+        audio_file=tiny_wav,
+        get_bends=get_bends,
+        G_res=32,
+        out_size=32,
+        fps=2,
+        duration=1.5,
+        latent_count=8,
+        batch=2,
+        output_file=str(tmp_path / "bent.mp4"),
+    )
+    assert os.path.exists(out) or os.path.exists(out + ".npy")

@@ -1,0 +1,133 @@
+"""Tooling smoke tests: eval CLIs, device monitor, prepare_vae_codes,
+sample/interpolate entry points."""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def shard_dir(tmp_path_factory):
+    import cv2
+
+    from maua_tpu.data import prepare_data
+
+    folder = tmp_path_factory.mktemp("imgs")
+    rng = np.random.RandomState(0)
+    for i in range(8):
+        cv2.imwrite(str(folder / f"i{i}.png"), (rng.rand(40, 40, 3) * 255).astype(np.uint8))
+    out = str(tmp_path_factory.mktemp("shards"))
+    prepare_data(str(folder), out, sizes=(32,), n_workers=1)
+    return out
+
+
+@pytest.fixture(scope="module")
+def tiny_ckpt2(tmp_path_factory):
+    import torch
+
+    from maua_tpu.models import Generator
+    from test_torch_ckpt import _flax_gen_to_torch_sd
+
+    p = tmp_path_factory.mktemp("ck") / "g32b.pt"
+    gen = Generator(size=32, constant_input=True, channel_max=32)
+    variables = gen.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, jnp.zeros((1, 512))
+    )
+    sd = {k: torch.from_numpy(np.asarray(v)) for k, v in _flax_gen_to_torch_sd(variables, gen).items()}
+    torch.save({"g_ema": sd}, str(p))
+    return str(p)
+
+
+def test_eval_cli_inception_and_fid(shard_dir, tiny_ckpt2, tmp_path, capsys, monkeypatch):
+    """Exercises the stats/fid plumbing with a cheap feature stub — the real
+    InceptionV3 architecture is covered by test_eval (299² compile is too
+    slow for the 1-core CI box)."""
+    import maua_tpu.eval.cli as cli
+
+    def tiny_features(weights_path):
+        def feats(img):
+            import jax.numpy as jnp
+
+            pooled = jnp.mean(img, axis=(2, 3))
+            return jnp.concatenate([pooled, jnp.var(img, axis=(2, 3))], axis=1)
+
+        return feats, False
+
+    monkeypatch.setattr(cli, "_feature_net", tiny_features)
+    main = cli.main
+
+    stats = str(tmp_path / "stats.pkl")
+    assert main(["inception", "--path", shard_dir, "--size", "32", "--batch", "4", "--out", stats]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["calibrated"] is False
+    assert os.path.exists(stats)
+
+    assert main(["fid", "--ckpt", tiny_ckpt2, "--stats", stats, "--n_sample", "8", "--batch", "4"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(out["fid"])
+
+
+def test_eval_cli_ppl(tiny_ckpt2, capsys):
+    from maua_tpu.eval.cli import main
+
+    assert main(["ppl", "--ckpt", tiny_ckpt2, "--n_sample", "8", "--batch", "4"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(out["ppl"])
+
+
+def test_device_monitor(tmp_path):
+    from maua_tpu.telemetry.monitor import DeviceMonitor
+
+    log = str(tmp_path / "mon.jsonl")
+    mon = DeviceMonitor(log, interval_s=0.05, window=3).start()
+    time.sleep(0.5)
+    mon.stop()
+    lines = open(log).read().strip().splitlines()
+    assert len(lines) >= 1
+    entry = json.loads(lines[0])
+    assert "host_rss_kb" in entry or any(k.startswith("dev0") for k in entry)
+
+
+def test_prepare_vae_codes(shard_dir, tmp_path):
+    from maua_tpu.data.prepare_vae_codes import encode_dataset
+    from maua_tpu.models.autoencoder import LogCoshVAE
+
+    model = LogCoshVAE(hidden_dims=(8, 16, 32, 64), latent_dim=32)
+    x0 = jnp.zeros((1, 3, 32, 32))
+    variables = model.init({"params": jax.random.PRNGKey(0), "latent": jax.random.PRNGKey(1)}, x0)
+    out = str(tmp_path / "codes")
+    n = encode_dataset(model, variables, shard_dir, 32, out, batch=4)
+    assert n == 8
+    import glob
+    import pickle
+
+    from maua_tpu.data import RecordShardReader
+
+    shards = glob.glob(os.path.join(out, "*.mrec"))
+    assert shards
+    r = RecordShardReader(shards[0])
+    code = pickle.loads(r.get(0))
+    assert code.shape == (32,)
+
+
+def test_sample_cli(tiny_ckpt2, tmp_path):
+    from maua_tpu.pipeline.sample import sample
+
+    out = sample(tiny_ckpt2, pics=3, sample_batch=2, truncation=0.7, out_dir=str(tmp_path / "s"), grid=True)
+    assert os.path.exists(os.path.join(out, "000000.png"))
+    assert os.path.exists(os.path.join(out, "grid.png"))
+
+
+def test_interpolate_video(tiny_ckpt2, tmp_path):
+    from maua_tpu.pipeline.interpolate import interpolation_video
+
+    out = interpolation_video(
+        tiny_ckpt2, n_latents=4, duration=1.0, fps=4, batch=2,
+        output_file=str(tmp_path / "i.mp4"),
+    )
+    assert os.path.exists(out) or os.path.exists(out + ".npy")
