@@ -1,4 +1,4 @@
-"""L2 IO: torch-checkpoint ingestion, native orbax checkpoints, datasets."""
+"""L2 IO: torch-checkpoint ingestion, TF-pkl conversion, orbax checkpoints."""
 
 from .torch_ckpt import (
     discriminator_variables_from_torch,
@@ -7,6 +7,7 @@ from .torch_ckpt import (
     load_generator,
     load_torch_checkpoint,
 )
+from .tf_pkl import load_tf_generator, load_tf_pickle_networks
 
 __all__ = [
     "discriminator_variables_from_torch",
@@ -14,4 +15,6 @@ __all__ = [
     "infer_generator_config",
     "load_generator",
     "load_torch_checkpoint",
+    "load_tf_generator",
+    "load_tf_pickle_networks",
 ]

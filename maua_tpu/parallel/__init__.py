@@ -9,6 +9,7 @@ collectives (psum over ICI) inside the single jitted step.
 
 from .mesh import (
     DATA_AXIS,
+    maybe_initialize_distributed,
     get_mesh,
     batch_sharding,
     replicated,
@@ -23,6 +24,7 @@ from .mesh import (
 
 __all__ = [
     "DATA_AXIS",
+    "maybe_initialize_distributed",
     "get_mesh",
     "batch_sharding",
     "replicated",

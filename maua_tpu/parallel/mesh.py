@@ -100,3 +100,22 @@ def all_reduce_mean_tree(tree: Any, axis: str = DATA_AXIS) -> Any:
     reduce_loss_dict (reference: distributed.py:102-124). Must be called
     inside shard_map/pjit with the named axis in scope."""
     return jax.tree_util.tree_map(lambda x: jax.lax.pmean(x, axis), tree)
+
+
+def maybe_initialize_distributed(coordinator_address: str | None = None, num_processes: int | None = None, process_id: int | None = None) -> bool:
+    """Multi-host bring-up: jax.distributed.initialize with env auto-detection
+    — the replacement for torch.distributed.launch + init_process_group
+    (reference: train.py:432-447). Safe no-op on single-host; returns whether
+    a multi-process runtime is active."""
+    import os
+
+    if jax.process_count() > 1:
+        return True
+    if coordinator_address or os.environ.get("COORDINATOR_ADDRESS"):
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address or os.environ["COORDINATOR_ADDRESS"],
+            num_processes=num_processes or int(os.environ.get("NUM_PROCESSES", "1")),
+            process_id=process_id or int(os.environ.get("PROCESS_ID", "0")),
+        )
+        return jax.process_count() > 1
+    return False

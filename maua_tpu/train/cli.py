@@ -99,6 +99,19 @@ def train_loop(args) -> None:
 
     sample_z = jax.random.normal(jax.random.PRNGKey(args.seed + 1), (args.n_sample, cfg.latent_dim))
 
+    # periodic FID during training (reference: train.py:287-305): requires
+    # precomputed dataset stats + (optionally) real inception weights
+    eval_feats = None
+    real_stats = None
+    if args.eval_every > 0 and args.inception_stats:
+        import pickle
+
+        from ..eval.cli import _feature_net
+
+        eval_feats, _ = _feature_net(args.inception_weights)
+        with open(args.inception_stats, "rb") as f:
+            real_stats = pickle.load(f)
+
     # observability: phase-level trace capture + out-of-band device monitor
     # (reference: train_profile.py NVTX phases, gpumon.py daemon)
     monitor = None
@@ -114,6 +127,15 @@ def train_loop(args) -> None:
         trace_ctx.__enter__()
 
     from ..telemetry import phase
+
+    spec_state = None
+    if args.log_spec_norm:
+        from ..telemetry import init_spectral_state
+
+        spec_state = {
+            "G": init_spectral_state(state.g_params),
+            "D": init_spectral_state(state.d_params),
+        }
 
     rng = jax.random.PRNGKey(args.seed + 2)
     start = int(state.step)
@@ -132,6 +154,14 @@ def train_loop(args) -> None:
         if is_main_process() and (i % args.log_every == 0):
             jax.block_until_ready(metrics)
             log = {k: float(v) for k, v in metrics.items()}
+            if spec_state is not None:
+                # power-iteration spectral norms (reference: train.py:259-275)
+                from ..telemetry import spectral_norms
+                from ..telemetry.spectral import summarize
+
+                for net, params in (("G", state.g_params), ("D", state.d_params)):
+                    sigmas, spec_state[net] = spectral_norms(params, spec_state[net])
+                    log.update({f"{net} {k}": v for k, v in summarize(sigmas).items()})
             log["step"] = i
             log["sec_per_iter"] = (time.time() - t_last) / max(args.log_every, 1)
             t_last = time.time()
@@ -148,6 +178,35 @@ def train_loop(args) -> None:
                 randomize_noise=False,
             )
             save_image_grid(np.asarray(imgs), os.path.join(args.run_dir, f"samples/{i:07d}.png"))
+
+        if (
+            is_main_process()
+            and real_stats is not None
+            and args.eval_every > 0
+            and i > 0
+            and i % args.eval_every == 0
+        ):
+            from ..eval import fid as fid_fn
+
+            def synthesize(key, batch):
+                z = jax.random.normal(key, (batch, cfg.latent_dim))
+                img, _ = gen.apply(
+                    {"params": state.g_ema_params, "buffers": state.g_buffers},
+                    z,
+                    randomize_noise=False,
+                )
+                return img
+
+            scores = fid_fn(
+                synthesize, eval_feats, real_stats,
+                n_sample=args.fid_n_sample, batch_size=args.fid_batch,
+            )
+            scores["step"] = i
+            print(json.dumps({"FID": scores["fid"], "step": i}))
+            metrics_file.write(json.dumps(scores) + "\n")
+            metrics_file.flush()
+            if wandb_run is not None:
+                wandb_run.log({"FID": scores["fid"]}, step=i)
 
         if is_main_process() and args.checkpoint_every > 0 and i > 0 and i % args.checkpoint_every == 0:
             save_checkpoint(args.run_dir, state, step=i)
@@ -200,6 +259,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--wandb", action="store_true")
     p.add_argument("--wandb_project", type=str, default="maua_tpu")
+    p.add_argument("--log_spec_norm", action="store_true")
+    p.add_argument("--eval_every", type=int, default=0, help="FID interval (0 = off)")
+    p.add_argument("--inception_stats", type=str, default=None, help="pkl from eval.cli inception")
+    p.add_argument("--inception_weights", type=str, default=None)
+    p.add_argument("--fid_n_sample", type=int, default=2500)
+    p.add_argument("--fid_batch", type=int, default=6)
     p.add_argument("--profile", action="store_true", help="capture an xprof trace of the first iters")
     p.add_argument("--profile_iters", type=int, default=5)
     p.add_argument("--monitor", action="store_true", help="background HBM/RSS monitor to tpumon.jsonl")

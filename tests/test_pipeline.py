@@ -147,3 +147,32 @@ def test_generate_with_bends_plugin(tiny_ckpt, tiny_wav, tmp_path):
         output_file=str(tmp_path / "bent.mp4"),
     )
     assert os.path.exists(out) or os.path.exists(out + ".npy")
+
+
+def test_render_on_device_mesh(tiny_ckpt, tmp_path):
+    """Frame-axis data-parallel inference: batch sharded over the 8-device
+    CPU mesh (the DataParallel analogue, reference:
+    generate_audiovisual.py:54-55)."""
+    import jax.numpy as jnp
+
+    from maua_tpu.io import load_generator
+    from maua_tpu.models import Generator
+    from maua_tpu.parallel import get_mesh
+
+    gen, variables = load_generator(tiny_ckpt)
+    n_frames = 8
+    w = gen.apply(variables, jax.random.normal(jax.random.PRNGKey(0), (1, 512)), method=Generator.get_latent)
+    latents = jnp.repeat(jnp.repeat(w[None], n_frames, 0), gen.n_latent, 1)
+
+    out = str(tmp_path / "mesh.mp4")
+    render(
+        generator=gen,
+        variables=variables,
+        latents=latents,
+        noise=[],
+        output_file=out,
+        batch_size=8,
+        fps=4,
+        mesh=get_mesh(),
+    )
+    assert os.path.exists(out) or os.path.exists(out + ".npy")
