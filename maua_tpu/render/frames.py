@@ -4,17 +4,22 @@ Reference design (render.py:14-193): batch the latent/noise timelines through
 the generator, convert to uint8 on device, stream frames to an encoder thread.
 TPU-first redesign:
 
-* ONE jitted program per batch does synthesis + bend application + widescreen
+* The WHOLE timeline (latents, per-scale noise, truncation, bend/rewrite
+  modulations) is uploaded to device HBM once; each batch is a
+  `lax.dynamic_slice` on device indexed by a single scalar. The reference
+  stages timelines in pinned host memory and pays a host→device copy per
+  batch (render.py:120-148) — on TPU that cadence of small transfers is pure
+  latency, so the timeline lives device-side. Timelines larger than
+  `max_device_timeline_bytes` fall back to per-batch feeding.
+* ONE jitted program per batch does synthesis + bends + widescreen
   crop/resize + [-1,1]→uint8 HWC packing. Transferring uint8 instead of fp32
   cuts device→host traffic 4× — the reference calls itself "severely
-  memory-transfer bound" (render.py:120-121), and on a tunneled TPU the
-  transfer is the bottleneck by far.
-* Fixed batch shapes: the tail batch is padded, never shrunk, so the jit
+  memory-transfer bound" (render.py:120-121).
+* Fixed batch shapes: the tail batch is padded once before upload, so the jit
   cache holds exactly one executable (SURVEY.md §7 many-shape risk).
-* Double buffering: batch k+1's device compute is dispatched before batch k's
-  host transfer is awaited, so DMA and compute overlap; the encoder runs on a
-  writer thread fed by a bounded queue (two-thread structure mirroring
-  render.py:30-44,94-118).
+* Double buffering: batch k+1 is dispatched before batch k's device→host
+  fetch, overlapping compute with DMA; a writer thread drains a bounded queue
+  into the encoder (two-thread structure mirroring render.py:30-44,94-118).
 * Multi-chip: when a mesh is passed, the batch axis is sharded over it —
   the pjit analogue of DataParallel inference (generate_audiovisual.py:54-55).
 """
@@ -28,9 +33,10 @@ from typing import Any, Optional, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
-from ..reactive.bend import Bend, bends_for_batch
-from ..reactive.rewrite import Rewrite, rewrites_for_batch
+from ..reactive.bend import Bend
+from ..reactive.rewrite import Rewrite, apply_rewrites
 from .video import VideoWriter
 
 Array = jnp.ndarray
@@ -40,10 +46,10 @@ def _pack_frames(img: Array, out_size: Optional[int]) -> Array:
     """Device-side postprocess: widescreen center-crop + resize
     (reference: render.py:98-105), then [-1,1]→uint8 HWC."""
     if out_size in (1920, 1080) and (img.shape[-1] == 2048 or img.shape[-2] == 2048):
-        if out_size == 1920:  # 2048x1024-ish wide gen -> 1920x1080
+        if out_size == 1920:  # 2048-wide gen -> 1920x1080
             img = img[:, :, :, 112:-112] if img.shape[-1] == 2048 else img
             img = jax.image.resize(img, (img.shape[0], img.shape[1], 1080, 1920), "bilinear")
-        else:  # 1080x1920 portrait
+        else:  # portrait
             img = img[:, :, 112:-112, :] if img.shape[-2] == 2048 else img
             img = jax.image.resize(img, (img.shape[0], img.shape[1], 1920, 1080), "bilinear")
     img = jnp.clip(img, -1.0, 1.0)
@@ -72,6 +78,7 @@ def render(
     ffmpeg_preset: str = "slow",
     mesh=None,
     progress: bool = True,
+    max_device_timeline_bytes: int = 8 << 30,
 ) -> str:
     """Render a full timeline to a video file. latents: [n_frames, n_latent, D];
     noise: list of per-scale [n_frames, 1, h, w] or None; truncation: float or
@@ -82,13 +89,28 @@ def render(
         fps = n_frames / duration if duration else 30.0
 
     tensor_trunc = not isinstance(truncation, float)
-    if tensor_trunc:
-        truncation = np.asarray(truncation, np.float32).reshape(n_frames)
+    apply_trunc = tensor_trunc or (truncation_latent is not None and truncation != 1.0)
 
     noise = [None if n is None else np.asarray(n, np.float32) for n in noise or []]
     n_layers = generator.num_layers
     while len(noise) < n_layers:
         noise.append(None)
+
+    # ---- pad timelines once so every batch has identical shape ----
+    n_padded = -(-n_frames // batch_size) * batch_size
+
+    def pad_t(x):
+        x = np.asarray(x)
+        if len(x) == n_padded:
+            return x
+        reps = np.concatenate([x, np.repeat(x[-1:], n_padded - len(x), axis=0)])
+        return reps
+
+    latents = pad_t(latents)
+    noise = [None if n is None else pad_t(n) for n in noise]
+    trunc_t = pad_t(np.asarray(truncation, np.float32).reshape(-1)) if tensor_trunc else None
+    bend_mods = [None if b.modulation is None else pad_t(np.asarray(b.modulation, np.float32)) for b in bends]
+    rw_mods = [None if r.modulation is None else pad_t(np.asarray(r.modulation, np.float32)) for r in rewrites]
 
     sharding = None
     if mesh is not None:
@@ -96,37 +118,47 @@ def render(
 
         sharding = batch_sharding(mesh)
 
+    # ---- stage timelines on device (HBM) when they fit ----
+    total_bytes = latents.nbytes + sum(0 if n is None else n.nbytes for n in noise)
+    device_timeline = total_bytes <= max_device_timeline_bytes and sharding is None
+    if device_timeline:
+        latents_dev = jax.device_put(latents)
+        noise_dev = [None if n is None else jax.device_put(n) for n in noise]
+        trunc_dev = None if trunc_t is None else jax.device_put(trunc_t)
+        bmods_dev = [None if m is None else jax.device_put(m) for m in bend_mods]
+        rmods_dev = [None if m is None else jax.device_put(m) for m in rw_mods]
+
     params = variables["params"]
     buffers = variables.get("buffers", {})
+    bend_defs = list(bends)
+    rw_defs = list(rewrites)
 
-    def step(g_params, latent_b, noise_b, trunc_b, bend_pairs):
+    def synth_batch(g_params, latent_b, noise_b, trunc_b, bmods_b):
+        pairs = []
+        for b, m in zip(bend_defs, bmods_b):
+            pairs.append((b.layer, (lambda x, _t=b.transform, _m=m: _t(x, _m))))
         img, _ = generator.apply(
             {"params": g_params, "buffers": buffers},
             latent_b,
             input_is_latent=True,
             noise=noise_b,
             randomize_noise=randomize_noise,
-            truncation=trunc_b if tensor_trunc or truncation_latent is not None else 1.0,
+            truncation=trunc_b if apply_trunc else 1.0,
             truncation_latent=truncation_latent,
-            bends=bend_pairs,
+            bends=pairs,
         )
         return _pack_frames(img, out_size)
 
-    jit_step = jax.jit(step, static_argnames=("bend_pairs",)) if not bends else None
-    # bends close over per-batch modulation arrays -> retrace per call would
-    # blow the cache; instead jit a wrapper taking modulations as arguments.
-    if bends:
-        bend_defs = list(bends)
+    def step_fed(g_params, latent_b, noise_b, trunc_b, bmods_b, rmods_b):
+        if rw_defs:
+            g_params = apply_rewrites(g_params, rw_defs, list(rmods_b))
+        return synth_batch(g_params, latent_b, noise_b, trunc_b, bmods_b)
 
-        def step_with_bends(g_params, latent_b, noise_b, trunc_b, mods):
-            pairs = []
-            for b, m in zip(bend_defs, mods):
-                pairs.append((b.layer, (lambda x, _t=b.transform, _m=m: _t(x, _m))))
-            return step(g_params, latent_b, noise_b, trunc_b, pairs)
+    # the executable depends only on [batch, ...] shapes — one compile per
+    # (model, batch_size), reused across any video length
+    jit_step = jax.jit(step_fed)
 
-        jit_bend_step = jax.jit(step_with_bends)
-
-    # writer thread fed by a bounded queue (backpressure keeps memory flat)
+    # ---- writer thread fed by a bounded queue (backpressure bounds memory) ----
     frame_q: "queue.Queue" = queue.Queue(maxsize=4)
     wh = {1920: (1920, 1080), 1080: (1080, 1920)}.get(out_size)
     if wh is None:
@@ -150,34 +182,30 @@ def render(
     wt = Thread(target=write_loop, daemon=True)
     wt.start()
 
-    pending = None  # (device_array,) double buffer
-    for start in range(0, n_frames, batch_size):
-        end = min(start + batch_size, n_frames)
-        pad = batch_size - (end - start)
+    trunc_scalar = jnp.asarray(truncation if isinstance(truncation, float) else 1.0)
 
-        def pad_batch(x):
-            return np.concatenate([x, x[-1:].repeat(pad, axis=0)]) if pad else x
-
-        latent_b = jnp.asarray(pad_batch(latents[start:end]))
-        noise_b = [None if n is None else jnp.asarray(pad_batch(n[start:end])) for n in noise]
-        trunc_b = jnp.asarray(pad_batch(truncation[start:end])) if tensor_trunc else jnp.asarray(1.0 if truncation_latent is None else truncation)
-
-        if sharding is not None:
-            latent_b = jax.device_put(latent_b, sharding)
-            noise_b = [None if n is None else jax.device_put(n, sharding) for n in noise_b]
-
-        g_params = rewrites_for_batch(params, rewrites, start, end) if rewrites else params
-
-        if bends:
-            mods = tuple(
-                None if b.modulation is None else jnp.asarray(pad_batch(np.asarray(b.modulation[start:end], np.float32)))
-                for b in bend_defs
-            )
-            out = jit_bend_step(g_params, latent_b, noise_b, trunc_b, mods)
+    pending = None  # double buffer
+    for start in range(0, n_padded, batch_size):
+        sl = slice(start, start + batch_size)
+        if device_timeline:
+            # eager on-device slices: no host→device traffic per batch
+            latent_b = latents_dev[sl]
+            noise_b = [None if n is None else n[sl] for n in noise_dev]
+            trunc_b = trunc_dev[sl] if trunc_dev is not None else trunc_scalar
+            bmods_b = tuple(None if m is None else m[sl] for m in bmods_dev)
+            rmods_b = tuple(None if m is None else m[sl] for m in rmods_dev)
         else:
-            out = jit_step(g_params, latent_b, noise_b, trunc_b, ())
+            latent_b = jnp.asarray(latents[sl])
+            noise_b = [None if n is None else jnp.asarray(n[sl]) for n in noise]
+            trunc_b = jnp.asarray(trunc_t[sl]) if trunc_t is not None else trunc_scalar
+            bmods_b = tuple(None if m is None else jnp.asarray(m[sl]) for m in bend_mods)
+            rmods_b = tuple(None if m is None else jnp.asarray(m[sl]) for m in rw_mods)
+            if sharding is not None:
+                latent_b = jax.device_put(latent_b, sharding)
+                noise_b = [None if n is None else jax.device_put(n, sharding) for n in noise_b]
 
-        # double buffer: fetch previous batch while this one computes
+        out = jit_step(params, latent_b, noise_b, trunc_b, bmods_b, rmods_b)
+
         if pending is not None:
             frame_q.put(np.asarray(jax.device_get(pending)))
         pending = out
