@@ -15,9 +15,9 @@ import jax.numpy as jnp
 import numpy as np
 
 import maua_tpu.audio as ar
-from maua_tpu.reactive import Bend, add_noise_bend, chroma_weight_latents, translate_bend
+from maua_tpu.reactive import Bend, add_noise_bend, chroma_weight_latents, pad_bend, translate_bend
 
-OVERRIDE = dict(out_size=1024)
+OVERRIDE = dict(out_size=1920)
 
 
 def initialize(args):
@@ -53,8 +53,12 @@ def get_noise(height, width, scale, num_scales, args):
 
 
 def get_bends(args):
-    # constant-layer variation noise (reference: tauceti.py:94-100)
-    bends = [add_noise_bend(0, 0.025 * jax.random.normal(jax.random.PRNGKey(0), (1, 1, 4, 4)))]
+    # widen the constant layer to 2:1 + variation noise (reference:
+    # tauceti.py:94-100 ReplicationPad2d((2,2,0,0)) + AddNoise)
+    bends = [
+        pad_bend(0, (2, 2, 0, 0)),
+        add_noise_bend(0, 0.025 * jax.random.normal(jax.random.PRNGKey(0), (1, 1, 4, 8))),
+    ]
 
     # scrolling drop: saw-tooth translation in [0, 1] scroll fractions
     # (reference: tauceti.py:102-159; our translate_bend scales by layer width)

@@ -114,6 +114,18 @@ def generate(
     ar.set_SMF(fps / 30)
     t0 = time.time()
 
+    # Plugin/DSP phase runs on the host CPU backend: user reactivity code is
+    # eager jnp (smoothing, percentile clips, perlin), and eager dispatch on a
+    # TPU runtime is pure per-op latency — or outright unsupported on tunneled
+    # backends. Synthesis below still compiles for the default (TPU) device.
+    import contextlib
+
+    try:
+        cpu_dev = jax.devices("cpu")[0] if jax.default_backend() != "cpu" else None
+    except RuntimeError:
+        cpu_dev = None
+    host_ctx = jax.default_device(cpu_dev) if cpu_dev is not None else contextlib.nullcontext()
+
     audio, sr, duration = ar.load_audio(audio_file, offset, duration)
     args.audio, args.sr = audio, sr
     n_frames = int(round(duration * fps))
@@ -126,49 +138,50 @@ def generate(
         from .defaults import initialize as initialize_default
 
         initialize = initialize_default
-    if initialize is not None:
-        args = initialize(args)
+    with host_ctx:
+        if initialize is not None:
+            args = initialize(args)
 
-    # ---- latents (generate_audiovisual.py:120-138) ----
-    if get_latents is None:
-        from .defaults import get_latents
+        # ---- latents (generate_audiovisual.py:120-138) ----
+        if get_latents is None:
+            from .defaults import get_latents
 
-    if latent_file is not None:
-        latent_selection = load_latents(latent_file)
-    else:
-        latent_selection = generate_latents(
-            latent_count, ckpt, G_res, noconst, latent_dim, n_mlp, channel_multiplier, seed=seed
-        )
-    if shuffle_latents:
-        perm = np.random.default_rng(seed).permutation(len(latent_selection))
-        latent_selection = latent_selection[np.asarray(perm)]
-    os.makedirs("workspace", exist_ok=True)
-    save_latents(latent_selection, "workspace/last-latents.npy")
+        if latent_file is not None:
+            latent_selection = load_latents(latent_file)
+        else:
+            latent_selection = generate_latents(
+                latent_count, ckpt, G_res, noconst, latent_dim, n_mlp, channel_multiplier, seed=seed
+            )
+        if shuffle_latents:
+            perm = np.random.default_rng(seed).permutation(len(latent_selection))
+            latent_selection = latent_selection[np.asarray(perm)]
+        os.makedirs("workspace", exist_ok=True)
+        save_latents(latent_selection, "workspace/last-latents.npy")
 
-    latents = np.asarray(get_latents(selection=latent_selection, args=args), np.float32)
-    print(f"{list(latents.shape)} amplitude={latents.std():.4f}")
+        latents = np.asarray(get_latents(selection=latent_selection, args=args), np.float32)
+        print(f"{list(latents.shape)} amplitude={latents.std():.4f}")
 
-    # ---- noise (generate_audiovisual.py:143-159) ----
-    if get_noise is None:
-        from .defaults import get_noise
+        # ---- noise (generate_audiovisual.py:143-159) ----
+        if get_noise is None:
+            from .defaults import get_noise
 
-    noise = []
-    range_min, range_max, exponent = get_noise_range(out_size, G_res, stylegan1)
-    for scale in range(range_min, range_max):
-        h = (2 if out_size == 1080 else 1) * 2 ** exponent(scale)
-        w = (2 if out_size == 1920 else 1) * 2 ** exponent(scale)
-        n = get_noise(height=h, width=w, scale=scale - range_min, num_scales=range_max - range_min, args=args)
-        noise.append(None if n is None else np.asarray(n, np.float32))
-        if noise[-1] is not None:
-            print(list(noise[-1].shape), f"amplitude={noise[-1].std():.4f}")
+        noise = []
+        range_min, range_max, exponent = get_noise_range(out_size, G_res, stylegan1)
+        for scale in range(range_min, range_max):
+            h = (2 if out_size == 1080 else 1) * 2 ** exponent(scale)
+            w = (2 if out_size == 1920 else 1) * 2 ** exponent(scale)
+            n = get_noise(height=h, width=w, scale=scale - range_min, num_scales=range_max - range_min, args=args)
+            noise.append(None if n is None else np.asarray(n, np.float32))
+            if noise[-1] is not None:
+                print(list(noise[-1].shape), f"amplitude={noise[-1].std():.4f}")
 
-    # ---- bends / rewrites / truncation (generate_audiovisual.py:164-187) ----
-    bends = get_bends(args=args) if get_bends is not None else []
-    rewrites = get_rewrites(args=args) if get_rewrites is not None else []
-    if get_truncation is not None:
-        truncation_timeline = np.asarray(get_truncation(args=args), np.float32)
-    else:
-        truncation_timeline = float(truncation)
+        # ---- bends / rewrites / truncation (generate_audiovisual.py:164-187) ----
+        bends = get_bends(args=args) if get_bends is not None else []
+        rewrites = get_rewrites(args=args) if get_rewrites is not None else []
+        if get_truncation is not None:
+            truncation_timeline = np.asarray(get_truncation(args=args), np.float32)
+        else:
+            truncation_timeline = float(truncation)
 
     # ---- generator ----
     gen, variables = load_generator_for_render(
@@ -177,7 +190,9 @@ def generate(
     truncation_latent = None
     needs_trunc = (not isinstance(truncation_timeline, float)) or truncation_timeline != 1.0
     if needs_trunc:
-        truncation_latent = gen.apply(variables, jax.random.PRNGKey(seed), method=Generator.mean_latent)
+        truncation_latent = jax.jit(
+            lambda k: gen.apply(variables, k, method=Generator.mean_latent)
+        )(jax.random.PRNGKey(seed))
 
     print(f"preprocessing took {time.time() - t0:.2f}s; rendering {n_frames} frames...")
 

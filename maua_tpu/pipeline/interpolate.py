@@ -47,7 +47,9 @@ def interpolation_video(
     gen, variables = load_generator(ckpt, output_size=out_size)
     trunc_latent = None
     if truncation != 1.0:
-        trunc_latent = gen.apply(variables, jax.random.PRNGKey(seed), method=Generator.mean_latent)
+        trunc_latent = jax.jit(
+            lambda k: gen.apply(variables, k, method=Generator.mean_latent)
+        )(jax.random.PRNGKey(seed))
 
     if output_file is None:
         os.makedirs("output", exist_ok=True)

@@ -32,9 +32,9 @@ def sample(
     gen, variables = load_generator(ckpt)
     mean_w = None
     if truncation < 1.0:
-        mean_w = gen.apply(
-            variables, jax.random.PRNGKey(seed + 1), truncation_mean, method=Generator.mean_latent
-        )
+        mean_w = jax.jit(
+            lambda k: gen.apply(variables, k, truncation_mean, method=Generator.mean_latent)
+        )(jax.random.PRNGKey(seed + 1))
 
     @jax.jit
     def synth(z):

@@ -58,9 +58,11 @@ def generate_and_select(
 
     gen, variables = load_generator(ckpt)
     zs = jax.random.normal(jax.random.PRNGKey(seed), (n, gen.style_dim))
-    wplus = gen.apply(variables, zs, map_latents=True)  # [n, L, D]
+    wplus = jax.jit(lambda z: gen.apply(variables, z, map_latents=True))(zs)  # [n, L, D]
 
-    mean_w = gen.apply(variables, jax.random.PRNGKey(seed + 1), method=Generator.mean_latent)
+    mean_w = jax.jit(
+        lambda k: gen.apply(variables, k, method=Generator.mean_latent)
+    )(jax.random.PRNGKey(seed + 1))
 
     @jax.jit
     def synth(w, t):

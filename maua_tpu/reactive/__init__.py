@@ -24,6 +24,7 @@ from .bend import (
     translate_bend,
     zoom_bend,
     rotate_bend,
+    pad_bend,
     print_bend,
     bends_for_batch,
 )
@@ -46,6 +47,7 @@ __all__ = [
     "translate_bend",
     "zoom_bend",
     "rotate_bend",
+    "pad_bend",
     "print_bend",
     "bends_for_batch",
     "Rewrite",

@@ -153,6 +153,19 @@ def rotate_bend(layer: int, modulation: Array) -> Bend:
     return Bend(layer, transform, modulation)
 
 
+def pad_bend(layer: int, pad: tuple[int, int, int, int] = (2, 2, 0, 0), mode: str = "edge") -> Bend:
+    """Replication/reflection-pad bend — widens intermediate features, e.g.
+    the layer-0 (left,right,top,bottom)=(2,2,0,0) pad that turns the 4×4
+    constant into 4×8 for 2:1 widescreen synthesis (reference:
+    examples/tauceti.py:94-100 ReplicationPad2d)."""
+    left, right, top, bottom = pad
+
+    def transform(x: Array, mod: Optional[Array] = None) -> Array:
+        return jnp.pad(x, ((0, 0), (0, 0), (top, bottom), (left, right)), mode=mode)
+
+    return Bend(layer, transform, None)
+
+
 def bends_for_batch(bends: Sequence[Bend], start: int, end: int):
     """Close each bend over its modulation slice [start:end] and return
     (layer, fn(x)) pairs for Generator(bends=...) — the functional

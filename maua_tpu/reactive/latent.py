@@ -124,7 +124,7 @@ def generate_latents(
         constant_input=not noconst,
     )
     zs = jax.random.normal(jax.random.PRNGKey(seed), (n_latents, latent_dim))
-    return gen.apply(variables, zs, map_latents=True)
+    return jax.jit(lambda z: gen.apply(variables, z, map_latents=True))(zs)
 
 
 def save_latents(latents, filename: str) -> None:

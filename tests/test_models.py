@@ -252,3 +252,28 @@ def test_generator_widescreen_noise_buffers():
     assert shapes[-1] == (1, 1, 1024, 2048)
     shapes = noise_shapes(1024, output_size=1080)
     assert shapes[-1] == (1, 1, 2048, 1024)
+
+
+def test_widescreen_synthesis_with_pad_bend():
+    """2:1 widescreen: output_size=1920 reshapes the noise buffers and a
+    layer-0 replication-pad bend widens the constant (the tauceti recipe,
+    reference: models/stylegan2.py:461-470 + examples/tauceti.py:94-100)."""
+    from maua_tpu.reactive import pad_bend, bends_for_batch
+
+    gen = Generator(
+        size=16, style_dim=32, n_mlp=1, channel_multiplier=1, constant_input=True,
+        channel_max=32, output_size=1920,
+    )
+    variables = gen.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, jnp.zeros((1, 32))
+    )
+    # widescreen noise buffers are [1, 1, h, 2h]
+    assert variables["buffers"]["noise_0"].shape == (1, 1, 4, 8)
+
+    z = jax.random.normal(jax.random.PRNGKey(2), (2, 32))
+    img, _ = gen.apply(
+        variables, z, randomize_noise=False,
+        bends=bends_for_batch([pad_bend(0, (2, 2, 0, 0))], 0, 2),
+    )
+    assert img.shape == (2, 3, 16, 32)
+    assert np.isfinite(np.asarray(img)).all()
