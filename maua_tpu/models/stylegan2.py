@@ -300,6 +300,7 @@ class Discriminator(nn.Module):
     stddev_group: int = 4
     stddev_feat: int = 1
     channel_max: int = 512
+    dtype: Any = jnp.float32  # conv compute dtype (bf16 = TPU fast path)
 
     @nn.compact
     def __call__(self, x: Array, return_hidden: bool = False):
@@ -309,6 +310,7 @@ class Discriminator(nn.Module):
         channels = channel_map(self.channel_multiplier, self.channel_max)
         log_size = int(math.log2(self.size))
 
+        x = x.astype(self.dtype)
         out = ConvLayer(channels[self.size], 1, name="from_rgb")(x)
         for i in range(log_size, 2, -1):
             out = ResBlock(
@@ -320,9 +322,11 @@ class Discriminator(nn.Module):
         hidden = out
 
         batch = out.shape[0]
-        out = minibatch_stddev(out, self.stddev_group, self.stddev_feat)
+        # stddev statistics in fp32 (variance of near-equal values cancels
+        # catastrophically in bf16), then back to the compute dtype
+        out = minibatch_stddev(out.astype(jnp.float32), self.stddev_group, self.stddev_feat).astype(self.dtype)
         out = ConvLayer(channels[4], 3, name="final_conv")(out)
-        out = out.reshape(batch, -1)
+        out = out.reshape(batch, -1).astype(jnp.float32)
         out = EqualLinear(channels[4], activation="fused_lrelu", name="final_linear_0")(out)
         out = EqualLinear(1, name="final_linear_1")(out)
         if return_hidden:

@@ -5,10 +5,11 @@ the generator, convert to uint8 on device, stream frames to an encoder thread.
 TPU-first redesign:
 
 * The WHOLE timeline (latents, per-scale noise, truncation, bend/rewrite
-  modulations) is uploaded to device HBM once; each batch is a
-  `lax.dynamic_slice` on device indexed by a single scalar. The reference
-  stages timelines in pinned host memory and pays a host→device copy per
-  batch (render.py:120-148) — on TPU that cadence of small transfers is pure
+  modulations) is uploaded to device HBM once; batches are eager on-device
+  slices fed into a jitted step whose shapes depend only on batch_size (one
+  executable serves any video length). The reference stages timelines in
+  pinned host memory and pays a host→device copy per batch
+  (render.py:120-148) — on TPU that cadence of small transfers is pure
   latency, so the timeline lives device-side. Timelines larger than
   `max_device_timeline_bytes` fall back to per-batch feeding.
 * ONE jitted program per batch does synthesis + bends + widescreen
@@ -33,7 +34,6 @@ from typing import Any, Optional, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
 
 from ..reactive.bend import Bend
 from ..reactive.rewrite import Rewrite, apply_rewrites

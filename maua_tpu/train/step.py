@@ -63,6 +63,7 @@ class TrainConfig(NamedTuple):
     la_alpha: float = 0.5
     ema_decay: float = EMA_DECAY_DEFAULT
     bcr_weight: float = 0.0  # balanced consistency regularization (train.py:184-189)
+    bf16: bool = False  # bf16 conv compute in G synthesis + D (params stay fp32)
 
 
 def make_train_config(**kwargs) -> TrainConfig:
@@ -97,15 +98,20 @@ class GANTrainState:
 
 def init_train_state(rng: jax.Array, cfg: TrainConfig) -> tuple[GANTrainState, Generator, Discriminator]:
     """Construct models + optimizer state (reference: train.py:449-520)."""
+    import jax.numpy as _jnp
+
+    dtype = _jnp.bfloat16 if cfg.bf16 else _jnp.float32
     gen = Generator(
         size=cfg.size,
         style_dim=cfg.latent_dim,
         channel_multiplier=cfg.channel_multiplier,
         channel_max=cfg.channel_max,
         constant_input=cfg.constant_input,
+        dtype=dtype,
     )
     disc = Discriminator(
-        size=cfg.size, channel_multiplier=cfg.channel_multiplier, channel_max=cfg.channel_max
+        size=cfg.size, channel_multiplier=cfg.channel_multiplier, channel_max=cfg.channel_max,
+        dtype=dtype,
     )
 
     kg, kd, kn = jax.random.split(rng, 3)

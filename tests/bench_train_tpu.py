@@ -1,0 +1,60 @@
+"""Dev utility: train-step throughput on the attached TPU chip.
+
+Usage: python tests/bench_train_tpu.py [--size 256] [--batch 8] [--bf16]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+os.makedirs("/root/.cache/jax_comp_cache", exist_ok=True)
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+
+from maua_tpu.train import init_train_state, make_train_config, make_train_step
+
+p = argparse.ArgumentParser()
+p.add_argument("--size", type=int, default=256)
+p.add_argument("--batch", type=int, default=8)
+p.add_argument("--bf16", action="store_true")
+p.add_argument("--iters", type=int, default=8)
+args = p.parse_args()
+
+cfg = make_train_config(
+    size=args.size, batch_size=args.batch, num_accumulate=1,
+    augment=True, lookahead=True, bf16=args.bf16,
+    d_reg_every=16, g_reg_every=4,
+)
+state, gen, disc = init_train_state(jax.random.PRNGKey(0), cfg)
+step = jax.jit(make_train_step(gen, disc, cfg))
+
+reals = [
+    jax.random.normal(jax.random.PRNGKey(10 + i), (1, args.batch, 3, args.size, args.size))
+    for i in range(args.iters)
+]
+jax.block_until_ready(reals)
+
+t0 = time.time()
+state, metrics = step(state, reals[0], jax.random.PRNGKey(1))
+jax.block_until_ready(metrics)
+print(f"compile+first: {time.time()-t0:.1f}s", flush=True)
+
+t0 = time.time()
+for i in range(1, args.iters):
+    state, metrics = step(state, reals[i], jax.random.PRNGKey(1 + i))
+jax.block_until_ready(metrics)
+dt = (time.time() - t0) / (args.iters - 1)
+imgs_s = args.batch / dt
+print(
+    f"size={args.size} batch={args.batch} bf16={args.bf16}: "
+    f"{dt*1000:.0f} ms/step, {imgs_s:.1f} imgs/s",
+    flush=True,
+)
+for k, v in metrics.items():
+    assert bool(jnp.isfinite(v)), (k, v)
+print("metrics finite", flush=True)
