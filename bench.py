@@ -26,7 +26,7 @@ import jax.numpy as jnp
 BASELINE_FPS = 60.0
 
 
-def bench_dtype(dtype, batch: int = 8, n_iters: int = 10) -> float:
+def bench_dtype(dtype, batch: int = 16, n_iters: int = 8) -> float:
     from maua_tpu.models import Generator
 
     gen = Generator(size=1024, constant_input=True, dtype=dtype)

@@ -8,6 +8,7 @@ daemon (gpumon.py), and spectral-norm instrumentation
 """
 
 from .profiling import phase, profile_trace, device_memory_stats, log_compile_stats
+from .memory import memory_snapshot, log_memory_deltas, save_device_memory_profile
 from .spectral import init_spectral_state, spectral_norms
 
 __all__ = [
@@ -17,4 +18,7 @@ __all__ = [
     "log_compile_stats",
     "init_spectral_state",
     "spectral_norms",
+    "memory_snapshot",
+    "log_memory_deltas",
+    "save_device_memory_profile",
 ]

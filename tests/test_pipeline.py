@@ -176,3 +176,23 @@ def test_render_on_device_mesh(tiny_ckpt, tmp_path):
         mesh=get_mesh(),
     )
     assert os.path.exists(out) or os.path.exists(out + ".npy")
+
+
+def test_pack_frames_widescreen_crop():
+    """2048-wide gen output -> 1920x1080 crop+resize on device
+    (reference: render.py:98-105)."""
+    import jax.numpy as jnp
+
+    from maua_tpu.render.frames import _pack_frames
+
+    img = jnp.zeros((2, 3, 1024, 2048))
+    out = _pack_frames(img, 1920)
+    assert out.shape == (2, 1080, 1920, 3)
+    assert out.dtype == jnp.uint8
+
+    img_p = jnp.zeros((2, 3, 2048, 1024))
+    out_p = _pack_frames(img_p, 1080)
+    assert out_p.shape == (2, 1920, 1080, 3)
+
+    sq = jnp.zeros((2, 3, 64, 64))
+    assert _pack_frames(sq, None).shape == (2, 64, 64, 3)
