@@ -29,6 +29,7 @@ from .onsets import onsets, onset_strength, madmom_onset_ensemble
 from .features import rms, mfcc, drop_strength
 from .chroma import chroma, raw_chroma, chroma_stft, chroma_cqt, chroma_cens, pseudo_cqt
 from .segmentation import beat_track, laplacian_segmentation
+from .util import info, plot_signals, plot_spectra, plot_audio, plot_chroma_comparison
 
 __all__ = [
     "SMF",
@@ -65,4 +66,9 @@ __all__ = [
     "pseudo_cqt",
     "beat_track",
     "laplacian_segmentation",
+    "info",
+    "plot_signals",
+    "plot_spectra",
+    "plot_audio",
+    "plot_chroma_comparison",
 ]

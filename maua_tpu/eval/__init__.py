@@ -16,6 +16,7 @@ from .metrics import (
     prdc,
     ppl,
     fid,
+    vae_fid,
 )
 
 __all__ = [
@@ -29,4 +30,5 @@ __all__ = [
     "prdc",
     "ppl",
     "fid",
+    "vae_fid",
 ]

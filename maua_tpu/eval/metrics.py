@@ -179,3 +179,27 @@ def ppl(
 
     lo, hi = np.percentile(d, 1), np.percentile(d, 99)
     return float(d[(d >= lo) & (d <= hi)].mean())
+
+
+def vae_fid(
+    reconstruct: Callable[[Array], Array],
+    feature_fn: Callable[[Array], Array],
+    data_iter,
+    n_sample: int = 2500,
+) -> float:
+    """FID between a dataset and its VAE reconstructions (reference:
+    metrics.py:17-80 vae_fid): features of real batches vs features of
+    model(real) reconstructions."""
+    jit_feat = jax.jit(lambda img: feature_fn(img))
+    jit_rec = jax.jit(lambda img: reconstruct(img))
+    real_feats, fake_feats = [], []
+    n = 0
+    for batch in data_iter:
+        batch = jnp.asarray(batch)
+        real_feats.append(np.asarray(jit_feat(batch)))
+        fake_feats.append(np.asarray(jit_feat(jit_rec(batch))))
+        n += len(batch)
+        if n >= n_sample:
+            break
+    mu_r, s_r = compute_stats(np.concatenate(real_feats))
+    return fid_from_features(np.concatenate(fake_feats), mu_r, s_r)

@@ -62,6 +62,7 @@ def train_loop(args) -> None:
         la_steps=args.la_steps,
         la_alpha=args.la_alpha,
         bcr_weight=args.balanced_consistency,
+        contrastive_weight=args.contrastive,
     )
     state, gen, disc = init_train_state(jax.random.PRNGKey(args.seed), cfg)
     step_fn = jax.jit(make_train_step(gen, disc, cfg))
@@ -248,6 +249,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--la_steps", type=int, default=500)
     p.add_argument("--la_alpha", type=float, default=0.5)
     p.add_argument("--balanced_consistency", type=float, default=0.0)
+    p.add_argument("--contrastive", type=float, default=0.0)
     p.add_argument("--checkpoint", type=str, default=None, help=".pt (torch) or orbax dir")
     p.add_argument("--transfer_mapping_only", action="store_true")
     p.add_argument("--resume", action="store_true")

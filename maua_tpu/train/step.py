@@ -63,13 +63,18 @@ class TrainConfig(NamedTuple):
     la_alpha: float = 0.5
     ema_decay: float = EMA_DECAY_DEFAULT
     bcr_weight: float = 0.0  # balanced consistency regularization (train.py:184-189)
+    contrastive_weight: float = 0.0  # SimCLR regularizer on D's hidden layer (train.py:177-182)
+    contrastive_loss_type: str = "infonce"  # "infonce" | "nt_xent"
     bf16: bool = False  # bf16 conv compute in G synthesis + D (params stay fp32)
 
 
 def make_train_config(**kwargs) -> TrainConfig:
     """Build a TrainConfig applying the reference's derived args:
-    r1 *= size² (train.py:430)."""
+    r1 *= size² (train.py:430); bCR/contrastive force augmentation on
+    (train.py:427-428)."""
     cfg = TrainConfig(**kwargs)
+    if cfg.bcr_weight > 0 or cfg.contrastive_weight > 0:
+        cfg = cfg._replace(augment=True)
     return cfg._replace(r1=cfg.r1 * cfg.size**2)
 
 
@@ -90,6 +95,7 @@ class GANTrainState:
     g_opt_state: Any
     d_opt_state: Any
     lookahead: Optional[LookaheadState]
+    cl_head: Optional[Any]  # contrastive projection head (None when disabled)
     mean_path_length: Array
     ada_p: Array
     ada_signs: Array
@@ -126,6 +132,14 @@ def init_train_state(rng: jax.Array, cfg: TrainConfig) -> tuple[GANTrainState, G
     g_opt = _reg_adjusted_adam(cfg.lr, cfg.g_reg_every)
     d_opt = _reg_adjusted_adam(cfg.lr, cfg.d_reg_every)
 
+    cl_head = None
+    if cfg.contrastive_weight > 0:
+        from .contrastive import init_projection_head
+
+        _, hidden = disc.apply(d_vars, jnp.zeros((2, 3, cfg.size, cfg.size)), return_hidden=True)
+        feat_dim = int(hidden.size // hidden.shape[0])
+        cl_head = init_projection_head(jax.random.fold_in(rng, 7), feat_dim)
+
     state = GANTrainState(
         step=jnp.zeros((), jnp.int32),
         g_params=g_params,
@@ -133,8 +147,9 @@ def init_train_state(rng: jax.Array, cfg: TrainConfig) -> tuple[GANTrainState, G
         g_ema_params=jax.tree_util.tree_map(jnp.asarray, g_params),
         g_buffers=g_buffers,
         g_opt_state=g_opt.init(g_params),
-        d_opt_state=d_opt.init(d_params),
+        d_opt_state=d_opt.init((d_params, cl_head)),
         lookahead=lookahead_minimax_init(g_params, d_params) if cfg.lookahead else None,
+        cl_head=cl_head,
         mean_path_length=jnp.zeros(()),
         ada_p=jnp.asarray(cfg.augment_p, jnp.float32),
         ada_signs=jnp.zeros(()),
@@ -189,7 +204,8 @@ def make_train_step(gen: Generator, disc: Discriminator, cfg: TrainConfig):
         return disc.apply({"params": d_params}, img)
 
     # ---------------- D phase ----------------
-    def d_microbatch_loss(d_params, g_params, buffers, real, rng, ada_p):
+    def d_microbatch_loss(d_and_head, g_params, buffers, real, rng, ada_p):
+        d_params, cl_head = d_and_head
         kw, kn, ka1, ka2 = jax.random.split(rng, 4)
         wplus = _mixed_wplus(gen, g_params, buffers, kw, real.shape[0], cfg)
         fake = jax.lax.stop_gradient(synth(g_params, wplus, kn, buffers))
@@ -207,6 +223,19 @@ def make_train_step(gen: Generator, disc: Discriminator, cfg: TrainConfig):
                 jnp.square(fake_pred - d_apply(d_params, fake))
             )
             loss = loss + cfg.bcr_weight * c
+        if cfg.contrastive_weight > 0 and cl_head is not None:
+            # SimCLR regularizer on D's hidden layer: original vs augmented
+            # pairs for fakes and reals (train.py:177-182)
+            from .contrastive import contrastive_regularizer
+
+            def d_hidden(img):
+                return disc.apply({"params": d_params}, img, return_hidden=True)[1]
+
+            cl = contrastive_regularizer(
+                d_hidden, cl_head, [fake, real], [fake_aug, real_aug],
+                loss_type=cfg.contrastive_loss_type,
+            )
+            loss = loss + cfg.contrastive_weight * cl
         aux = {
             "d_loss": loss,
             "real_score": jnp.mean(real_pred),
@@ -217,11 +246,13 @@ def make_train_step(gen: Generator, disc: Discriminator, cfg: TrainConfig):
         return loss / cfg.num_accumulate, aux
 
     def d_phase(state: GANTrainState, real_imgs, rng):
+        d_and_head = (state.d_params, state.cl_head)
+
         def scan_body(carry, inp):
             grads_acc, aux_acc = carry
             real, key = inp
             (_, aux), grads = jax.value_and_grad(d_microbatch_loss, has_aux=True)(
-                state.d_params, state.g_params, state.g_buffers, real, key, state.ada_p
+                d_and_head, state.g_params, state.g_buffers, real, key, state.ada_p
             )
             grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
             aux_acc = jax.tree_util.tree_map(jnp.add, aux_acc, aux)
@@ -236,11 +267,13 @@ def make_train_step(gen: Generator, disc: Discriminator, cfg: TrainConfig):
             "n_pred": jnp.zeros(()),
         }
         (grads, aux), _ = jax.lax.scan(
-            scan_body, (zeros_like(state.d_params), init_aux), (real_imgs, keys)
+            scan_body, (zeros_like(d_and_head), init_aux), (real_imgs, keys)
         )
-        updates, d_opt_state = d_opt.update(grads, state.d_opt_state, state.d_params)
-        d_params = optax.apply_updates(state.d_params, updates)
-        return state.replace(d_params=d_params, d_opt_state=d_opt_state), aux
+        # the projection head trains with D's optimizer (as the DDP-wrapped
+        # learner's parameters do in the reference, train.py:572-579)
+        updates, d_opt_state = d_opt.update(grads, state.d_opt_state, d_and_head)
+        d_params, cl_head = optax.apply_updates(d_and_head, updates)
+        return state.replace(d_params=d_params, cl_head=cl_head, d_opt_state=d_opt_state), aux
 
     # ---------------- R1 phase (lazy, cond) ----------------
     def r1_loss_fn(d_params, real, rng, ada_p):
@@ -267,9 +300,12 @@ def make_train_step(gen: Generator, disc: Discriminator, cfg: TrainConfig):
         (grads, r1_sum), _ = jax.lax.scan(
             scan_body, (zeros_like(state.d_params), jnp.zeros(())), (real_imgs, keys)
         )
-        updates, d_opt_state = d_opt.update(grads, state.d_opt_state, state.d_params)
-        d_params = optax.apply_updates(state.d_params, updates)
-        return state.replace(d_params=d_params, d_opt_state=d_opt_state), r1_sum
+        # optimizer state spans (d_params, cl_head); R1 touches only D
+        d_and_head = (state.d_params, state.cl_head)
+        grads_pair = (grads, zeros_like(state.cl_head))
+        updates, d_opt_state = d_opt.update(grads_pair, state.d_opt_state, d_and_head)
+        d_params, cl_head = optax.apply_updates(d_and_head, updates)
+        return state.replace(d_params=d_params, cl_head=cl_head, d_opt_state=d_opt_state), r1_sum
 
     # ---------------- G phase ----------------
     def g_loss_fn(g_params, d_params, buffers, rng, ada_p, batch):

@@ -111,3 +111,14 @@ def test_inception_architecture_shapes():
     img = jnp.zeros((2, 3, 64, 64))
     feats2 = net.apply(params, InceptionV3.preprocess(img))
     assert feats2.shape == (2, 2048)
+
+
+def test_vae_fid_reconstruction_better_than_noise():
+    from maua_tpu.eval import vae_fid
+
+    rng = np.random.RandomState(0)
+    data = [rng.rand(16, 4).astype(np.float32) for _ in range(4)]
+
+    ident = vae_fid(lambda x: x + 0.01, lambda x: x, iter(data), n_sample=64)
+    noisy = vae_fid(lambda x: x * 0 + 5.0, lambda x: x, iter(data), n_sample=64)
+    assert ident < noisy

@@ -142,3 +142,34 @@ def test_train_step_end_to_end_mesh():
     assert int(state.step) == 2
     g1 = jax.tree_util.tree_leaves(state.g_params)[0]
     assert not np.allclose(np.asarray(g0), np.asarray(g1))
+
+
+@pytest.mark.slow
+def test_train_step_with_contrastive_and_bcr():
+    """Contrastive + bCR regularizers active: one step, finite metrics, the
+    projection head moves with D's optimizer (reference: train.py:177-189)."""
+    cfg = make_train_config(
+        size=16,
+        channel_max=32,
+        batch_size=4,
+        num_accumulate=1,
+        augment=False,  # forced back on by the derived-arg rule below
+        bcr_weight=1.0,
+        contrastive_weight=0.5,
+        lookahead=False,
+        d_reg_every=1000,  # keep this test to the D/G phases
+        g_reg_every=1000,
+        path_regularize=0.0,
+        r1=0.0,
+    )
+    assert cfg.augment  # bCR/contrastive force augmentation (train.py:427-428)
+    state, gen, disc = init_train_state(jax.random.PRNGKey(0), cfg)
+    assert state.cl_head is not None
+    step = jax.jit(make_train_step(gen, disc, cfg))
+
+    real = jax.random.normal(jax.random.PRNGKey(1), (1, cfg.batch_size, 3, 16, 16))
+    h0 = np.asarray(state.cl_head["w1"]).copy()
+    state, metrics = step(state, real, jax.random.PRNGKey(2))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, v)
+    assert not np.allclose(h0, np.asarray(state.cl_head["w1"]))
