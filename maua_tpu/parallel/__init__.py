@@ -21,6 +21,7 @@ from .mesh import (
     all_reduce_mean_tree,
     pad_to_multiple,
 )
+from .tp import MODEL_AXIS, get_2d_mesh, generator_param_shardings, shard_generator_params
 
 __all__ = [
     "DATA_AXIS",
@@ -35,4 +36,8 @@ __all__ = [
     "shard_batch",
     "all_reduce_mean_tree",
     "pad_to_multiple",
+    "MODEL_AXIS",
+    "get_2d_mesh",
+    "generator_param_shardings",
+    "shard_generator_params",
 ]

@@ -131,3 +131,25 @@ def test_interpolate_video(tiny_ckpt2, tmp_path):
         output_file=str(tmp_path / "i.mp4"),
     )
     assert os.path.exists(out) or os.path.exists(out + ".npy")
+
+
+def test_projector_inversion_reduces_loss(tiny_ckpt2):
+    """GAN inversion improves reconstruction over the init
+    (reference: projector.py:146-173)."""
+    import jax.numpy as jnp
+
+    from maua_tpu.io import load_generator
+    from maua_tpu.pipeline.projector import project
+
+    gen, variables = load_generator(tiny_ckpt2)
+    # target = a real generator sample, so a perfect inversion exists
+    z = jax.random.normal(jax.random.PRNGKey(5), (1, gen.style_dim))
+    target, _ = gen.apply(variables, z, randomize_noise=False)
+
+    latent, noises, history = project(
+        gen, variables, jnp.asarray(target), n_steps=30, lr=0.2, log_every=5,
+        noise_regularize_weight=1e3,
+    )
+    assert latent.shape == (1, gen.n_latent, gen.style_dim)
+    assert len(noises) == gen.num_layers
+    assert history[-1]["dist"] < history[0]["dist"]
