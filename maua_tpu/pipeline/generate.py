@@ -148,6 +148,17 @@ def generate(
 
         if latent_file is not None:
             latent_selection = load_latents(latent_file)
+        elif stylegan1:
+            # the reference requires --latent_file for SG1 (its generate_latents
+            # always builds an SG2 generator, latent.py:136-159); map latents
+            # through the SG1 mapping network instead
+            from ..models.stylegan1 import load_stylegan1
+
+            sg1, sg1_vars = load_stylegan1(ckpt)
+            zs = jax.random.normal(jax.random.PRNGKey(seed), (latent_count, 512))
+            latent_selection = jax.jit(
+                lambda z: sg1.apply(sg1_vars, z, map_latents=True)
+            )(zs)
         else:
             latent_selection = generate_latents(
                 latent_count, ckpt, G_res, noconst, latent_dim, n_mlp, channel_multiplier, seed=seed
@@ -190,9 +201,14 @@ def generate(
     truncation_latent = None
     needs_trunc = (not isinstance(truncation_timeline, float)) or truncation_timeline != 1.0
     if needs_trunc:
-        truncation_latent = jax.jit(
-            lambda k: gen.apply(variables, k, method=Generator.mean_latent)
-        )(jax.random.PRNGKey(seed))
+        if stylegan1:
+            truncation_latent = jax.jit(
+                lambda k: gen.mean_latent(variables, k)
+            )(jax.random.PRNGKey(seed))
+        else:
+            truncation_latent = jax.jit(
+                lambda k: gen.apply(variables, k, method=Generator.mean_latent)
+            )(jax.random.PRNGKey(seed))
 
     print(f"preprocessing took {time.time() - t0:.2f}s; rendering {n_frames} frames...")
 

@@ -196,3 +196,30 @@ def test_pack_frames_widescreen_crop():
 
     sq = jnp.zeros((2, 3, 64, 64))
     assert _pack_frames(sq, None).shape == (2, 64, 64, 3)
+
+
+def test_generate_stylegan1_end_to_end(tiny_wav, tmp_path):
+    """SG1 checkpoints route through the G_style port
+    (reference: generate_audiovisual.py:41-42)."""
+    import torch
+
+    from test_stylegan1 import fabricate_sg1_sd
+
+    sd = {k: torch.from_numpy(v) for k, v in fabricate_sg1_sd(size=32).items()}
+    p = str(tmp_path / "sg1.pt")
+    torch.save(sd, p)
+
+    out = generate(
+        ckpt=p,
+        audio_file=tiny_wav,
+        stylegan1=True,
+        G_res=32,
+        out_size=32,
+        fps=2,
+        duration=1.0,
+        latent_count=6,
+        batch=2,
+        truncation=0.8,
+        output_file=str(tmp_path / "sg1.mp4"),
+    )
+    assert os.path.exists(out) or os.path.exists(out + ".npy")
