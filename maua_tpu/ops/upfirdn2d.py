@@ -100,12 +100,22 @@ def upfirdn2d(x: jnp.ndarray, kernel: jnp.ndarray, up=1, down=1, pad=(0, 0)) -> 
     # performs correlation, so flip here once.
     k = jnp.flip(kernel, (0, 1)).astype(x.dtype)[None, None]  # [1, 1, kh, kw]
 
-    # Channels fold into the batch axis — one shared single-channel filter.
-    # This is the same (major, H, W, minor) flattening the reference CUDA
-    # kernel uses (op/upfirdn2d.py:174 reshape to (N*C, 1, H, W)); it is also
-    # much faster than feature_group_count=C in XLA, whose grouped-conv
-    # (and especially its gradient) lowers poorly on CPU (6-10x measured).
-    xr = x.reshape(n * c, 1, h, w)
+    # Layout dispatch (measured, see CLAUDE.md):
+    # * CPU: fold channels into the batch axis (the reference CUDA kernel's
+    #   (N*C, 1, H, W) flattening, op/upfirdn2d.py:174) — XLA:CPU grouped
+    #   convs (and especially their gradients) lower 6-10x slower.
+    # * TPU: keep the channel axis and use feature_group_count — XLA:TPU
+    #   handles depthwise natively, and the reshape otherwise materializes a
+    #   lane-padded copy of the whole activation (4x HBM at low channel
+    #   counts, seen in 1024² OOM traces).
+    grouped = jax.default_backend() not in ("cpu",)
+    if grouped:
+        xr = x
+        k = jnp.broadcast_to(k, (c, 1, kh, kw))
+        fgc = c
+    else:
+        xr = x.reshape(n * c, 1, h, w)
+        fgc = 1
 
     if pad_x0 >= 0 and pad_x1 >= 0 and pad_y0 >= 0 and pad_y1 >= 0:
         # Fast path: fold zero-stuffing into lhs_dilation so XLA lowers one
@@ -121,9 +131,10 @@ def upfirdn2d(x: jnp.ndarray, kernel: jnp.ndarray, up=1, down=1, pad=(0, 0)) -> 
             lhs_dilation=(up_y, up_x),
             rhs_dilation=(1, 1),
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            feature_group_count=fgc,
             precision=None if x.dtype == jnp.bfloat16 else lax.Precision.HIGHEST,
         )
-        return out.reshape(n, c, out.shape[2], out.shape[3])
+        return out if grouped else out.reshape(n, c, out.shape[2], out.shape[3])
 
     # Negative pads crop the zero-stuffed tensor BEFORE convolution; XLA's
     # negative conv padding has different semantics, so materialize the
@@ -145,9 +156,10 @@ def upfirdn2d(x: jnp.ndarray, kernel: jnp.ndarray, up=1, down=1, pad=(0, 0)) -> 
         window_strides=(down_y, down_x),
         padding=((0, 0), (0, 0)),
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=fgc,
         precision=None if x.dtype == jnp.bfloat16 else lax.Precision.HIGHEST,
     )
-    return out.reshape(n, c, out.shape[2], out.shape[3])
+    return out if grouped else out.reshape(n, c, out.shape[2], out.shape[3])
 
 
 def upfirdn2d_native(x, kernel, up=1, down=1, pad=(0, 0)):
