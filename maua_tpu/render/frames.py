@@ -206,6 +206,8 @@ def render(
 
         out = jit_step(params, latent_b, noise_b, trunc_b, bmods_b, rmods_b)
 
+        # two-stage pipeline: fetch batch k here (overlapping batch k+1's
+        # device compute) while the writer thread encodes batch k-1
         if pending is not None:
             frame_q.put(np.asarray(jax.device_get(pending)))
         pending = out
