@@ -15,6 +15,7 @@ from __future__ import annotations
 import argparse
 import json
 import pickle
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -73,10 +74,14 @@ def cmd_fid(args) -> int:
     gen, variables = load_generator(args.ckpt)
     feats, calibrated = _feature_net(args.inception_weights)
 
-    def synthesize(key, batch):
+    @partial(jax.jit, static_argnames=("batch",))
+    def _synth(key, batch):
         z = jax.random.normal(key, (batch, gen.style_dim))
         img, _ = gen.apply(variables, z, randomize_noise=False)
         return img
+
+    def synthesize(key, batch):
+        return _synth(key, batch)
 
     with open(args.stats, "rb") as f:
         real_stats = pickle.load(f)
@@ -93,6 +98,7 @@ def cmd_ppl(args) -> int:
 
     gen, variables = load_generator(args.ckpt)
 
+    # called inside ppl()'s jitted batch fn — keep as traceable fns
     def map_latents(key, n):
         z = jax.random.normal(key, (n, gen.style_dim))
         return gen.apply(variables, z, method=Generator.get_latent)
