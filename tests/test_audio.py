@@ -176,3 +176,22 @@ def test_laplacian_segmentation_two_sections():
     assert len(times) >= 2
     # a boundary should exist near t=4s
     assert any(3.0 < t < 5.0 for t in times), times
+
+
+def test_plot_utils_write_files(tmp_path):
+    """Plot helpers render to files headlessly (reference: util.py:23-94)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    y = synth_click_track(dur=1.0)
+    sig = np.linspace(0, 1, 30)
+
+    out1 = audio.plot_signals([sig, sig**2], labels=["a", "b"], out_file=str(tmp_path / "s.png"))
+    out2 = audio.plot_spectra([np.random.rand(12, 30)], out_file=str(tmp_path / "sp.png"))
+    out3 = audio.plot_audio(y, SR, out_file=str(tmp_path / "a.png"))
+    for p in (out1, out2, out3):
+        import os
+
+        assert os.path.getsize(p) > 0
+    msg = audio.info(sig, "sig")
+    assert "shape=(30,)" in msg
