@@ -8,6 +8,7 @@ from .torch_ckpt import (
     load_torch_checkpoint,
 )
 from .tf_pkl import load_tf_generator, load_tf_pickle_networks
+from .torch_export import generator_state_dict_to_torch, save_torch_checkpoint
 
 __all__ = [
     "discriminator_variables_from_torch",
@@ -17,4 +18,6 @@ __all__ = [
     "load_torch_checkpoint",
     "load_tf_generator",
     "load_tf_pickle_networks",
+    "generator_state_dict_to_torch",
+    "save_torch_checkpoint",
 ]

@@ -16,47 +16,12 @@ from maua_tpu.models import Discriminator, Generator
 
 
 def _flax_gen_to_torch_sd(variables, gen):
-    """Inverse of the ingestion mapping, used to fabricate a reference-format
-    state dict from flax params (torch layouts: linear [out,in], modconv
-    [1,O,I,k,k], buffers under noises.)."""
-    p = variables["params"]
-    sd = {}
+    """Fabricate a reference-format state dict from flax params — now a thin
+    wrapper over the library exporter (io/torch_export.py) so tests and
+    production share one mapping."""
+    from maua_tpu.io import generator_state_dict_to_torch
 
-    def put_lin(prefix, tree):
-        sd[f"{prefix}.weight"] = np.asarray(tree["weight"]).T
-        if "bias" in tree:
-            sd[f"{prefix}.bias"] = np.asarray(tree["bias"])
-
-    def put_modconv(prefix, tree):
-        sd[f"{prefix}.weight"] = np.asarray(tree["weight"])[None]
-        put_lin(f"{prefix}.modulation", tree["modulation"])
-
-    def put_styled(prefix, tree):
-        put_modconv(f"{prefix}.conv", tree["conv"])
-        sd[f"{prefix}.noise.weight"] = np.asarray(tree["noise"]["weight"])
-        sd[f"{prefix}.activate.bias"] = np.asarray(tree["act_bias"])
-
-    def put_torgb(prefix, tree):
-        put_modconv(f"{prefix}.conv", tree["conv"])
-        sd[f"{prefix}.bias"] = np.asarray(tree["bias"])
-
-    for i in range(gen.n_mlp):
-        put_lin(f"style.{i + 1}", p["style"][f"dense_{i}"])
-    if "input" in p["g_input"]:
-        sd["input.input"] = np.asarray(p["g_input"]["input"])
-    else:
-        put_lin("input.linear", p["g_input"]["linear"])
-        sd["input.activate.bias"] = np.asarray(p["g_input"]["act_bias"])
-    put_styled("conv1", p["conv1"])
-    put_torgb("to_rgb1", p["to_rgb1"])
-    n_convs = sum(1 for k in p if k.startswith("convs_"))
-    for i in range(n_convs):
-        put_styled(f"convs.{i}", p[f"convs_{i}"])
-    for i in range(n_convs // 2):
-        put_torgb(f"to_rgbs.{i}", p[f"to_rgbs_{i}"])
-    for k, v in variables["buffers"].items():
-        sd[f"noises.{k}"] = np.asarray(v)
-    return sd
+    return generator_state_dict_to_torch(variables, gen)
 
 
 @pytest.mark.parametrize("constant_input", [True, False])
@@ -120,3 +85,23 @@ def test_discriminator_roundtrip():
     np.testing.assert_array_equal(
         np.asarray(disc.apply(loaded, x)), np.asarray(disc.apply(variables, x))
     )
+
+
+def test_save_torch_checkpoint_roundtrips_through_loader(tmp_path):
+    """Export .pt -> load_generator round trip (bidirectional interop)."""
+    from maua_tpu.io import load_generator, save_torch_checkpoint
+
+    gen = Generator(size=16, style_dim=32, n_mlp=1, channel_multiplier=1,
+                    constant_input=True, channel_max=32)
+    variables = gen.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, jnp.zeros((1, 32))
+    )
+    p = str(tmp_path / "exported.pt")
+    save_torch_checkpoint(p, gen, variables)
+
+    gen2, loaded = load_generator(p)
+    assert gen2.size == 16
+    z = jax.random.normal(jax.random.PRNGKey(2), (2, 32))
+    a, _ = gen.apply(variables, z, randomize_noise=False)
+    b, _ = gen2.apply(loaded, z, randomize_noise=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
