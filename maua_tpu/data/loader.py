@@ -32,14 +32,28 @@ class DataLoader:
         drop_last: bool = True,
     ):
         self.dataset = dataset
-        self.batch_size = batch_size
+        self.batch_size = batch_size  # GLOBAL batch per microbatch
         self.num_accumulate = num_accumulate
         self.mesh = mesh
         self.flip = flip
         self._rng = np.random.RandomState(seed)
 
+        # per-process share: rank-strided disjoint indices (DistributedSampler
+        # semantics, reference train.py:31-37,592) + per-host slice of the
+        # global batch assembled below
+        self.process_count = jax.process_count()
+        self.process_index = jax.process_index()
+        if batch_size % self.process_count != 0:
+            raise ValueError(
+                f"global batch_size {batch_size} not divisible by process_count {self.process_count}"
+            )
+        self.local_batch = batch_size // self.process_count
+
         self._idx_lock = threading.Lock()
-        self._indices = dataset.iter_indices(shuffle=shuffle, seed=seed)
+        self._indices = dataset.iter_indices(
+            shuffle=shuffle, seed=seed,
+            process_index=self.process_index, process_count=self.process_count,
+        )
         self._item_q: "queue.Queue[np.ndarray]" = queue.Queue(maxsize=prefetch * batch_size * num_accumulate)
         self._stop = threading.Event()
         self._workers = [
@@ -67,17 +81,29 @@ class DataLoader:
         return self
 
     def __next__(self):
-        n = self.batch_size * self.num_accumulate
+        n = self.local_batch * self.num_accumulate
         items = [self._item_q.get() for _ in range(n)]
         batch = np.stack(items).astype(np.float32)
         if self.flip:
             flips = self._rng.rand(n) < 0.5
             batch[flips] = batch[flips][:, :, :, ::-1]
-        batch = batch.reshape(self.num_accumulate, self.batch_size, *batch.shape[1:])
+        batch = batch.reshape(self.num_accumulate, self.local_batch, *batch.shape[1:])
         if self.mesh is not None:
+            if self.process_count > 1:
+                # multi-host: each process holds only its batch slice; build
+                # the global [accum, global_batch, ...] array from local data
+                from ..parallel import train_batch_sharding
+
+                return jax.make_array_from_process_local_data(
+                    train_batch_sharding(self.mesh),
+                    batch,
+                    (self.num_accumulate, self.batch_size, *batch.shape[2:]),
+                )
             from ..parallel import shard_batch
 
-            return shard_batch(batch, self.mesh)
+            # [num_accumulate, batch, ...]: split the *batch* axis over the
+            # data mesh (dim-0 is the sequential lax.scan accumulation axis)
+            return shard_batch(batch, self.mesh, batch_dim=1)
         return jax.numpy.asarray(batch)
 
     def close(self):

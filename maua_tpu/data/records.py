@@ -121,10 +121,28 @@ class MultiResolutionRecordDataset:
                 index = int(self._rng.randint(len(self)))
         raise RuntimeError("too many corrupt records")
 
-    def iter_indices(self, shuffle: bool = True, seed: int = 0) -> Iterator[int]:
+    def iter_indices(
+        self,
+        shuffle: bool = True,
+        seed: int = 0,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
+    ) -> Iterator[int]:
+        """Endless epoch iterator. In a multi-host run, each process yields a
+        disjoint strided slice of every (identically-shuffled) epoch — the
+        DistributedSampler semantics (reference: train.py:31-37,592): same
+        seed on all hosts, rank-strided subset, so the global batch is the
+        union of per-host batches with no overlap."""
+        if process_index is None:
+            import jax
+
+            process_index = jax.process_index()
+            process_count = jax.process_count()
+        process_count = max(int(process_count or 1), 1)
+        process_index = int(process_index) % process_count
         while True:
             order = np.arange(len(self))
             if shuffle:
                 np.random.RandomState(seed).shuffle(order)
                 seed += 1
-            yield from order
+            yield from order[process_index::process_count]

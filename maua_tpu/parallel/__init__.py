@@ -12,6 +12,7 @@ from .mesh import (
     maybe_initialize_distributed,
     get_mesh,
     batch_sharding,
+    train_batch_sharding,
     replicated,
     local_device_count,
     process_count,
@@ -28,6 +29,7 @@ __all__ = [
     "maybe_initialize_distributed",
     "get_mesh",
     "batch_sharding",
+    "train_batch_sharding",
     "replicated",
     "local_device_count",
     "process_count",

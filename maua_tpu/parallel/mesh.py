@@ -41,6 +41,14 @@ def batch_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
     return NamedSharding(mesh, P(axis))
 
 
+def train_batch_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
+    """Shard the *batch* axis of a [num_accumulate, batch, ...] train
+    super-batch: P(None, "data"). The accumulation axis is a sequential
+    lax.scan, never a parallel axis — sharding dim-0 would degrade to full
+    replication (each device would redo the whole step)."""
+    return NamedSharding(mesh, P(None, axis))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     """Fully-replicated sharding (model params under pure DP)."""
     return NamedSharding(mesh, P())
@@ -78,17 +86,21 @@ def pad_to_multiple(x: jnp.ndarray, multiple: int, axis: int = 0) -> tuple[jnp.n
     return jnp.pad(x, widths), n
 
 
-def shard_batch(batch: Any, mesh: Mesh, axis: str = DATA_AXIS) -> Any:
-    """Place a host pytree onto the mesh with dim-0 sharded. Arrays whose dim-0
-    is not divisible by the mesh size are replicated instead (e.g. scalars,
-    shared conditioning)."""
+def shard_batch(batch: Any, mesh: Mesh, axis: str = DATA_AXIS, batch_dim: int = 0) -> Any:
+    """Place a host pytree onto the mesh with `batch_dim` sharded over the data
+    axis. Train super-batches are [num_accumulate, batch, ...] — pass
+    batch_dim=1 so the *batch* axis is split (the accumulation axis is a
+    sequential lax.scan, not a parallel axis). Arrays whose batch_dim is
+    missing or not divisible by the mesh size are replicated instead (e.g.
+    scalars, shared conditioning)."""
     n_dev = mesh.devices.size
-    sharded = NamedSharding(mesh, P(axis))
+    spec = P(*([None] * batch_dim), axis)
+    sharded = NamedSharding(mesh, spec)
     repl = NamedSharding(mesh, P())
 
     def place(x):
         x = jnp.asarray(x)
-        if x.ndim >= 1 and x.shape[0] % n_dev == 0 and x.shape[0] > 0:
+        if x.ndim > batch_dim and x.shape[batch_dim] % n_dev == 0 and x.shape[batch_dim] > 0:
             return jax.device_put(x, sharded)
         return jax.device_put(x, repl)
 

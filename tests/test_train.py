@@ -111,8 +111,12 @@ def test_augment_grad_flows():
 
 @pytest.mark.slow
 def test_train_step_end_to_end_mesh():
-    """One full train step (D + R1 + ADA + G + path + lookahead + EMA) at 32²
-    on the 8-device CPU mesh; checks finiteness and that params moved."""
+    """One full train step (D + R1 + ADA + G + path + lookahead + EMA) at 16²
+    on the 8-device CPU mesh. Asserts REAL data parallelism: the batch axis is
+    split 1/8 per device (the round-1 bug was silent PartitionSpec()
+    replication), and the sharded step's metrics & updated params match a
+    single-device run on the same global batch (the DDP-equivalence property —
+    reference train.py:555-579's gradient all-reduce falls out of GSPMD)."""
     cfg = make_train_config(
         size=16,
         channel_max=32,
@@ -128,20 +132,63 @@ def test_train_step_end_to_end_mesh():
     step = jax.jit(make_train_step(gen, disc, cfg))
 
     mesh = get_mesh()
-    real = jax.random.normal(
+    n_dev = mesh.devices.size
+    assert n_dev == 8
+    real_host = jax.random.normal(
         jax.random.PRNGKey(1), (cfg.num_accumulate, cfg.batch_size, 3, 16, 16)
     )
-    real = shard_batch(real, mesh)  # accum dim not sharded (2 % 8 != 0) -> replicated
+    real = shard_batch(real_host, mesh, batch_dim=1)
+
+    # the batch axis MUST be split — a replicated placement is the bug
+    shard_shapes = {s.data.shape for s in real.addressable_shards}
+    assert shard_shapes == {(1, cfg.batch_size // n_dev, 3, 16, 16)}, shard_shapes
+    assert len({s.device for s in real.addressable_shards}) == n_dev
 
     g0 = jax.tree_util.tree_leaves(state.g_params)[0].copy()
-    state, metrics = step(state, real, jax.random.PRNGKey(2))
-    state, metrics = step(state, real, jax.random.PRNGKey(3))
+    state_sharded, metrics_sharded = step(state, real, jax.random.PRNGKey(2))
+    # same step, same global batch, single device: results must agree
+    real_1dev = jax.device_put(real_host, jax.devices()[0])
+    state_single, metrics_single = step(state, real_1dev, jax.random.PRNGKey(2))
 
-    for k, v in metrics.items():
+    for k in metrics_sharded:
+        a, b = float(metrics_sharded[k]), float(metrics_single[k])
+        assert np.isfinite(a), (k, a)
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4, err_msg=k)
+    gs = jax.tree_util.tree_leaves(state_sharded.g_params)[0]
+    g1 = jax.tree_util.tree_leaves(state_single.g_params)[0]
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(g1), rtol=2e-3, atol=2e-4)
+
+    # second sharded step: state advances and params keep moving
+    state_sharded, metrics2 = step(state_sharded, real, jax.random.PRNGKey(3))
+    for k, v in metrics2.items():
         assert np.isfinite(float(v)), (k, v)
-    assert int(state.step) == 2
-    g1 = jax.tree_util.tree_leaves(state.g_params)[0]
-    assert not np.allclose(np.asarray(g0), np.asarray(g1))
+    assert int(state_sharded.step) == 2
+    assert not np.allclose(np.asarray(g0), np.asarray(gs))
+
+
+def test_loader_indices_disjoint_across_processes():
+    """DistributedSampler semantics (reference train.py:31-37,592): two
+    simulated processes must cover disjoint, exhaustive strided slices of the
+    identically-shuffled epoch."""
+    import itertools
+
+    from maua_tpu.data.records import MultiResolutionRecordDataset
+
+    class _FakeDS:
+        def __len__(self):
+            return 13
+
+        iter_indices = MultiResolutionRecordDataset.iter_indices
+
+    ds = _FakeDS()
+    epoch = 13
+    r0 = list(itertools.islice(ds.iter_indices(seed=5, process_index=0, process_count=2), 7))
+    r1 = list(itertools.islice(ds.iter_indices(seed=5, process_index=1, process_count=2), 6))
+    assert not (set(r0) & set(r1)), (r0, r1)
+    assert sorted(r0 + r1) == list(range(epoch))
+    # deterministic across hosts: same shuffle, complementary strides
+    full = list(itertools.islice(ds.iter_indices(seed=5, process_index=0, process_count=1), epoch))
+    assert r0 == full[0::2] and r1 == full[1::2]
 
 
 @pytest.mark.slow
