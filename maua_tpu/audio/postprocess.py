@@ -12,7 +12,6 @@ import math
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 Array = jnp.ndarray
 
@@ -44,20 +43,27 @@ def percentile(signal: Array, p: float) -> Array:
 
 def percentile_clip(signal: Array, p: float) -> Array:
     """Normalize to [0,1], clipping above the p-th percentile of *local peaks*
-    (reference: signal.py:271-292)."""
+    (reference: signal.py:271-292).
+
+    Fully jittable: the data-dependent peak count becomes a traced index into
+    a full sort with non-peaks pushed to +inf (peaks occupy the first n_peaks
+    slots), so users may jit their reactive pipelines."""
     signal = jnp.asarray(signal)
     locs = jnp.arange(signal.shape[0])
     plus = signal[jnp.clip(locs + 1, 0, signal.shape[0] - 1)]
     minus = signal[jnp.clip(locs - 1, 0, signal.shape[0] - 1)]
-    peak_mask = (signal > plus) & (signal > minus)
-    # percentile over peaks only: sort masked values to the end via +inf, then
-    # index the k-th among the peak count (host-side k requires concrete mask,
-    # so compute with numpy semantics when not traced)
-    peaks = np.asarray(signal)[np.asarray(peak_mask)]
-    if peaks.size == 0:
-        peaks = np.asarray(signal).reshape(-1)
-    k = 1 + round(0.01 * float(p) * (peaks.size - 1))
-    thresh = np.sort(peaks.reshape(-1))[k - 1]
+    peak_mask = ((signal > plus) & (signal > minus)).reshape(-1)
+    flat = signal.reshape(-1)
+    sorted_peaks = jnp.sort(jnp.where(peak_mask, flat, jnp.inf))
+    n_peaks = jnp.sum(peak_mask)
+    # k-th value among peaks; no peaks -> percentile over the whole signal
+    k_peaks = jnp.round(0.01 * p * (jnp.maximum(n_peaks, 1) - 1)).astype(jnp.int32)
+    k_all = jnp.round(0.01 * p * (flat.size - 1)).astype(jnp.int32)
+    thresh = jnp.where(
+        n_peaks > 0,
+        jnp.take(sorted_peaks, k_peaks),
+        jnp.take(jnp.sort(flat), k_all),
+    )
     signal = jnp.clip(signal, 0, thresh)
     return signal / jnp.maximum(jnp.max(signal), 1e-12)
 

@@ -261,6 +261,7 @@ class Generator(nn.Module):
         else:
             out = self.g_input(latent)
         out = out.astype(self.dtype)
+        latent_fp32 = latent  # pre-cast W+ for return_latents consumers (projector, path reg)
         latent = latent.astype(self.dtype)
         noise = [None if n is None else n.astype(self.dtype) for n in noise]
         out = apply_bends(out, 0, bends)
@@ -286,7 +287,7 @@ class Generator(nn.Module):
         if return_activation_maps:
             return image, activation_maps
         if return_latents:
-            return image, latent.astype(jnp.float32)
+            return image, latent_fp32.astype(jnp.float32)
         return image, None
 
 

@@ -53,7 +53,7 @@ def _pack_frames(img: Array, out_size: Optional[int]) -> Array:
             img = img[:, :, 112:-112, :] if img.shape[-2] == 2048 else img
             img = jax.image.resize(img, (img.shape[0], img.shape[1], 1920, 1080), "bilinear")
     img = jnp.clip(img, -1.0, 1.0)
-    img = (img + 1.0) * 127.5
+    img = (img + 1.0) * 127.5 + 0.5  # round-to-nearest like the native host converter
     img = jnp.transpose(img, (0, 2, 3, 1))  # NCHW -> NHWC
     return img.astype(jnp.uint8)
 
@@ -89,7 +89,14 @@ def render(
         fps = n_frames / duration if duration else 30.0
 
     tensor_trunc = not isinstance(truncation, float)
-    apply_trunc = tensor_trunc or (truncation_latent is not None and truncation != 1.0)
+    if truncation_latent is None and (tensor_trunc or truncation != 1.0):
+        # never silently drop truncation: the generator's lerp needs the mean
+        # latent (generate() precomputes it; direct callers must too)
+        raise ValueError(
+            "truncation != 1 requires truncation_latent — precompute it with "
+            "Generator.mean_latent (generate() does this automatically)"
+        )
+    apply_trunc = truncation_latent is not None and (tensor_trunc or truncation != 1.0)
 
     noise = [None if n is None else np.asarray(n, np.float32) for n in noise or []]
     n_layers = generator.num_layers

@@ -336,7 +336,7 @@ def ada_adjust_p(
     signs_sum: Array,
     n_pred: Array,
     target: float = 0.6,
-    length: float = 15_000.0 * 12,
+    length: float = 15_000.0,
     threshold: float = 256.0,
 ) -> tuple[Array, Array, Array, Array]:
     """Adaptive-p update (reference: train.py:207-224).

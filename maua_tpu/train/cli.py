@@ -57,7 +57,7 @@ def train_loop(args) -> None:
         augment=args.augment,
         augment_p=args.augment_p,
         ada_target=args.ada_target,
-        ada_length=args.ada_length * args.num_accumulate,
+        ada_length=args.ada_length,
         lookahead=args.lookahead,
         la_steps=args.la_steps,
         la_alpha=args.la_alpha,
@@ -243,7 +243,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-augment", dest="augment", action="store_false")
     p.add_argument("--augment_p", type=float, default=0.0)
     p.add_argument("--ada_target", type=float, default=0.6)
-    p.add_argument("--ada_length", type=float, default=15_000 * 12)
+    p.add_argument("--ada_length", type=float, default=15_000)
     p.add_argument("--lookahead", action="store_true", default=True)
     p.add_argument("--no-lookahead", dest="lookahead", action="store_false")
     p.add_argument("--la_steps", type=int, default=500)

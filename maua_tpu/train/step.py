@@ -57,7 +57,7 @@ class TrainConfig(NamedTuple):
     augment: bool = True
     augment_p: float = 0.0  # 0 = adaptive
     ada_target: float = 0.6
-    ada_length: float = 15_000.0 * 12
+    ada_length: float = 15_000.0  # per real prediction (reference train.py:405)
     lookahead: bool = True
     la_steps: int = 500
     la_alpha: float = 0.5
@@ -277,8 +277,11 @@ def make_train_step(gen: Generator, disc: Discriminator, cfg: TrainConfig):
 
     # ---------------- R1 phase (lazy, cond) ----------------
     def r1_loss_fn(d_params, real, rng, ada_p):
-        if cfg.augment:
-            real, _ = augment(real, ada_p, rng=rng)
+        # R1 is computed on RAW (un-augmented) reals like the reference
+        # (train.py:195-205). The batch is reused from the D phase (a fresh
+        # loader draw can't thread through the jitted step signature) —
+        # equivalent in distribution since the loader shuffles every epoch.
+        del rng, ada_p
 
         def scalar_pred(x):
             return jnp.sum(d_apply(d_params, x))

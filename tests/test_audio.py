@@ -1,6 +1,7 @@
 """Audio DSP tests: STFT round-trips, known-signal feature checks, envelope
 post-processing semantics (SURVEY.md §4: golden-value tests for audio)."""
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -57,6 +58,14 @@ def test_normalize_and_percentile_clip():
     c = np.asarray(audio.percentile_clip(jnp.asarray(sig), 50))
     assert c.max() == pytest.approx(1.0)
     assert c[10] == pytest.approx(1.0)  # lower peak saturates after clip
+
+    # jittable: identical result under jit (users may jit reactive pipelines)
+    cj = np.asarray(jax.jit(audio.percentile_clip, static_argnums=1)(jnp.asarray(sig), 50))
+    np.testing.assert_allclose(cj, c, atol=1e-7)
+    # no-peaks fallback (monotone signal): percentile over the whole signal
+    mono = jnp.asarray(np.linspace(0, 1, 20, dtype=np.float32))
+    m = np.asarray(audio.percentile_clip(mono, 50))
+    assert np.isfinite(m).all() and m.max() == pytest.approx(1.0)
 
 
 def test_compress_expand():

@@ -71,6 +71,26 @@ def test_generate_end_to_end(tiny_ckpt, tiny_wav, tmp_path):
         assert os.path.getsize(out) > 0
 
 
+def test_render_rejects_truncation_without_latent(tiny_ckpt, tmp_path):
+    """Direct render() callers must not silently get un-truncated frames:
+    scalar/tensor truncation without truncation_latent is an error."""
+    from maua_tpu.io import load_generator
+
+    gen, variables = load_generator(tiny_ckpt)
+    latents = np.zeros((2, gen.n_latent, 512), np.float32)
+    with pytest.raises(ValueError, match="truncation"):
+        render(
+            generator=gen,
+            variables=variables,
+            latents=latents,
+            noise=[],
+            output_file=str(tmp_path / "x.mp4"),
+            batch_size=2,
+            fps=4,
+            truncation=0.7,
+        )
+
+
 def test_render_tensor_truncation_and_padding(tiny_ckpt, tmp_path):
     """Tail batch smaller than batch_size must be padded, not retraced; tensor
     truncation is per-frame (reference: render.py:169-172)."""
