@@ -1,7 +1,10 @@
 """Benchmark: 1024² StyleGAN2 synthesis throughput on the attached TPU chip.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} for the
-flagship fast path (bf16 synthesis); extra context lines go to stderr.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...} for the
+flagship fast path (bf16 synthesis); extra keys record the fp32 fast-parity
+operating point (the one that meets BOTH north-star targets: ≥60 fps AND
+≤1e-3 vs the torch reference) and its measured max error against the actual
+reference model at 256² full width. Context lines go to stderr.
 Baseline: the driver's north-star of 60 frames/sec/chip at 1024²
 (BASELINE.md — the reference publishes no numbers of its own).
 """
@@ -51,20 +54,91 @@ def bench_dtype(dtype, batch: int = 16, n_iters: int = 8) -> float:
     return batch * n_iters / dt
 
 
+def parity_err_vs_reference(size: int = 256, batch: int = 2):
+    """Max abs error of the fast-parity point vs the actual torch reference
+    (full-width generator, identical weights + stored noise). Returns None if
+    the reference repo is not mounted."""
+    import numpy as np
+
+    ref_dir = "/root/reference"
+    if not os.path.isdir(os.path.join(ref_dir, "models")):
+        return None
+    import torch
+    import torch.utils.cpp_extension as ce
+
+    ce.load = lambda *a, **k: None  # CUDA JIT stub; CPU paths don't use it
+    sys.path.insert(0, ref_dir)
+    import models.stylegan2 as ref_sg2
+
+    torch.manual_seed(0)
+    g_ref = ref_sg2.Generator(size, 512, 8).eval()
+    sd = {k: v.detach() for k, v in g_ref.state_dict().items()}
+    z = np.random.RandomState(1).randn(batch, 512).astype(np.float32)
+    mean_w = np.random.RandomState(2).randn(512).astype(np.float32)
+    g_ref.truncation_latent = torch.from_numpy(mean_w)
+    with torch.no_grad():
+        img_ref, _ = g_ref(
+            [torch.from_numpy(z)],
+            truncation=torch.from_numpy(np.ones(batch, np.float32)),
+            randomize_noise=False,
+        )
+    img_ref = img_ref.numpy()
+    del g_ref
+
+    from maua_tpu.io import generator_variables_from_torch, infer_generator_config
+    from maua_tpu.models import Generator
+
+    gen = Generator(**infer_generator_config(sd))
+    variables = generator_variables_from_torch(sd)
+
+    with jax.default_matmul_precision("high"):
+
+        @jax.jit
+        def f(zz):
+            img, _ = gen.apply(
+                variables,
+                zz,
+                truncation=jnp.ones(batch),
+                truncation_latent=jnp.asarray(mean_w),
+                randomize_noise=False,
+            )
+            return img
+
+        out = np.asarray(f(jnp.asarray(z)))
+    return float(np.abs(out - img_ref).max())
+
+
 def main() -> int:
     fps_bf16 = bench_dtype(jnp.bfloat16)
     print(f"bf16 1024^2 synth: {fps_bf16:.2f} frames/s", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "synth_1024_frames_per_sec_per_chip",
-                "value": round(fps_bf16, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(fps_bf16 / BASELINE_FPS, 3),
-            }
-        )
-    )
+    result = {
+        "metric": "synth_1024_frames_per_sec_per_chip",
+        "value": round(fps_bf16, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps_bf16 / BASELINE_FPS, 3),
+    }
+
+    # fast-parity operating point: fp32 with 3-pass body convs — must meet
+    # BOTH ≥60 fps and ≤1e-3 vs reference (BASELINE.md north stars)
+    try:
+        with jax.default_matmul_precision("high"):
+            fps_parity = bench_dtype(jnp.float32, batch=8)
+        print(f"fp32 fast-parity 1024^2 synth: {fps_parity:.2f} frames/s", file=sys.stderr)
+        result["parity_mode_fps"] = round(fps_parity, 2)
+        result["parity_mode_vs_baseline"] = round(fps_parity / BASELINE_FPS, 3)
+    except Exception as e:  # never fail the headline metric
+        print(f"fast-parity bench failed: {e}", file=sys.stderr)
+
+    try:
+        err = parity_err_vs_reference()
+        if err is not None:
+            print(f"fast-parity max err vs torch reference @256^2: {err:.3e}", file=sys.stderr)
+            result["parity_mode_max_err_vs_reference_256"] = err
+    except Exception as e:
+        print(f"parity check failed: {e}", file=sys.stderr)
+
+    print(json.dumps(result))
     return 0
 
 

@@ -34,8 +34,23 @@ Array = jnp.ndarray
 DEFAULT_BLUR_KERNEL = (1, 3, 3, 1)
 
 def _conv_precision(x: Array):
-    """HIGHEST (true fp32, 6-pass on TPU) for fp32 parity mode; native single-
-    pass MXU for bf16 fast mode."""
+    """fp32 conv/matmul precision policy:
+    * bf16 activations -> None (native single-pass MXU, fast mode);
+    * fp32 default     -> HIGHEST (6-pass bf16 emulation = true fp32 parity);
+    * fp32 under `jax.default_matmul_precision("high")` -> defer to that
+      config (3-pass, ~2x faster, ~1e-4 end-to-end err — the middle
+      operating point). The config is part of jit's trace context, so
+      switching it retraces correctly."""
+    if x.dtype == jnp.bfloat16:
+        return None
+    return lax.Precision.HIGHEST if jax.config.jax_default_matmul_precision is None else None
+
+
+def _exact_precision(x: Array):
+    """HIGHEST regardless of the matmul-precision config (bf16 stays native).
+    Used on the parity-sensitive, computationally-negligible sites — style
+    MLP, modulation linears, and non-demodulated (ToRGB) convs — whose errors
+    pass undamped into the image; relaxing them buys ~0 fps and ~3x error."""
     return None if x.dtype == jnp.bfloat16 else lax.Precision.HIGHEST
 
 
@@ -68,7 +83,7 @@ class EqualLinear(nn.Module):
         b = None
         if self.use_bias:
             b = self.param("bias", nn.initializers.constant(self.bias_init), (self.out_dim,))
-        out = jnp.dot(x, (w * scale).astype(x.dtype), precision=_conv_precision(x))
+        out = jnp.dot(x, (w * scale).astype(x.dtype), precision=_exact_precision(x))
         if self.activation == "fused_lrelu":
             return fused_leaky_relu(out, b * self.lr_mul if b is not None else None)
         if b is not None:
@@ -151,7 +166,7 @@ class Downsample(nn.Module):
         return upfirdn2d(x, k, up=1, down=self.factor, pad=(pad0, pad1))
 
 
-def _conv_transpose2d_nchw(x: Array, w_oihw: Array, stride: int) -> Array:
+def _conv_transpose2d_nchw(x: Array, w_oihw: Array, stride: int, precision=None) -> Array:
     """torch-semantics conv_transpose2d(stride, padding=0) expressed as an
     input-dilated correlation with the spatially-flipped, channel-swapped
     kernel. w_oihw is the *forward* conv weight [out, in, kh, kw]; the
@@ -169,7 +184,7 @@ def _conv_transpose2d_nchw(x: Array, w_oihw: Array, stride: int) -> Array:
         padding=((kh - 1, kh - 1), (kw - 1, kw - 1)),
         lhs_dilation=(stride, stride),
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        precision=_conv_precision(x),
+        precision=precision if precision is not None else _conv_precision(x),
     )
 
 
@@ -217,11 +232,21 @@ class ModulatedConv2d(nn.Module):
         x = x * s[:, :, None, None].astype(x.dtype)
         w_shared = (weight * scale).astype(x.dtype)
 
+        # Only the HIGH-RES demodulated body convs follow the matmul-precision
+        # config — they are the whole FLOPs budget. Everything cheap stays
+        # exact: ToRGB-style non-demodulated convs (error adds straight into
+        # the image) and low-res body convs (≤64², ~15% of MACs but ~half the
+        # error sites). Measured @1024²: all-HIGH = 3.2e-3 max err, body-only
+        # HIGH = 1.05e-3, high-res-body-only HIGH = see PARITY.md — for the
+        # same ~66 fps (vs 41 all-HIGHEST).
+        cheap = (h * w_in) <= 64 * 64
+        prec = _conv_precision(x) if (self.demodulate and not cheap) else _exact_precision(x)
+
         if self.upsample:
             # reference: conv_transpose2d(stride=2, padding=0) with transposed
             # per-sample weights, then Blur (models/stylegan2.py:227-238). The
             # shared-weight transpose uses W^T[in, out] layout semantics.
-            out = _conv_transpose2d_nchw(x, w_shared.transpose(1, 0, 2, 3), stride=2)
+            out = _conv_transpose2d_nchw(x, w_shared.transpose(1, 0, 2, 3), stride=2, precision=prec)
             if self.demodulate:
                 out = out * demod[:, :, None, None].astype(out.dtype)
             factor = 2
@@ -241,7 +266,7 @@ class ModulatedConv2d(nn.Module):
                 window_strides=(2, 2),
                 padding="VALID",
                 dimension_numbers=("NCHW", "OIHW", "NCHW"),
-                precision=_conv_precision(x),
+                precision=prec,
             )
             if self.demodulate:
                 out = out * demod[:, :, None, None].astype(out.dtype)
@@ -253,7 +278,7 @@ class ModulatedConv2d(nn.Module):
                 window_strides=(1, 1),
                 padding=((pad, pad), (pad, pad)),
                 dimension_numbers=("NCHW", "OIHW", "NCHW"),
-                precision=_conv_precision(x),
+                precision=prec,
             )
             if self.demodulate:
                 out = out * demod[:, :, None, None].astype(out.dtype)

@@ -34,6 +34,14 @@ from jax import lax
 __all__ = ["upfirdn2d", "upfirdn2d_native", "setup_filter"]
 
 
+
+def _fir_precision(x):
+    """Same fp32 precision policy as models/blocks.py:_conv_precision —
+    HIGHEST by default, deferring to jax.default_matmul_precision when set."""
+    if x.dtype == jnp.bfloat16:
+        return None
+    return lax.Precision.HIGHEST if jax.config.jax_default_matmul_precision is None else None
+
 def setup_filter(f, normalize: bool = True, gain: float = 1.0) -> jnp.ndarray:
     """Build a 2-D FIR filter from a 1-D tap list (outer product) or 2-D array.
 
@@ -132,7 +140,7 @@ def upfirdn2d(x: jnp.ndarray, kernel: jnp.ndarray, up=1, down=1, pad=(0, 0)) -> 
             rhs_dilation=(1, 1),
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
             feature_group_count=fgc,
-            precision=None if x.dtype == jnp.bfloat16 else lax.Precision.HIGHEST,
+            precision=_fir_precision(x),
         )
         return out if grouped else out.reshape(n, c, out.shape[2], out.shape[3])
 
@@ -157,7 +165,7 @@ def upfirdn2d(x: jnp.ndarray, kernel: jnp.ndarray, up=1, down=1, pad=(0, 0)) -> 
         padding=((0, 0), (0, 0)),
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         feature_group_count=fgc,
-        precision=None if x.dtype == jnp.bfloat16 else lax.Precision.HIGHEST,
+        precision=_fir_precision(x),
     )
     return out if grouped else out.reshape(n, c, out.shape[2], out.shape[3])
 

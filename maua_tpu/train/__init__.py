@@ -24,6 +24,15 @@ from .step import (
     make_train_step,
     TrainConfig,
 )
+from .lucidrains_trainer import (
+    LucidrainsConfig,
+    LucidrainsTrainer,
+    LucidrainsTrainState,
+    NanException,
+    diffgrad,
+    init_lucidrains_state,
+    make_lucidrains_train_step,
+)
 
 __all__ = [
     "d_logistic_loss",
@@ -43,4 +52,11 @@ __all__ = [
     "make_train_config",
     "init_train_state",
     "make_train_step",
+    "LucidrainsConfig",
+    "LucidrainsTrainer",
+    "LucidrainsTrainState",
+    "NanException",
+    "diffgrad",
+    "init_lucidrains_state",
+    "make_lucidrains_train_step",
 ]

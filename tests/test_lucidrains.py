@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from maua_tpu.models.lucidrains import (
     Conv2DMod,
@@ -96,3 +97,67 @@ def test_mixed_styles_shape():
     params = sv.init(jax.random.PRNGKey(0), jnp.zeros((1, 32)))
     styles = mixed_styles(jax.random.PRNGKey(1), lambda z: sv.apply(params, z), 4, 5, 32)
     assert styles.shape == (4, 5, 32)
+
+
+def test_diffgrad_damps_static_gradients():
+    """DiffGrad friction: with a constant gradient, step 2's update is damped
+    by sigmoid(0)=0.5 relative to plain Adam's bias-corrected step."""
+    from maua_tpu.train import diffgrad
+
+    opt = diffgrad(1e-2, 0.5, 0.9)
+    params = {"w": jnp.zeros(3)}
+    g = {"w": jnp.ones(3)}
+    state = opt.init(params)
+    u1, state = opt.update(g, state, params)
+    u2, state = opt.update(g, state, params)
+    # first step: prev_grad=0 -> dfc=sigmoid(1); second: dfc=sigmoid(0)=0.5
+    import scipy.special as sp
+
+    ratio = float(u2["w"][0] / u1["w"][0])
+    assert ratio == pytest.approx(0.5 / sp.expit(1.0), rel=1e-4)
+
+
+@pytest.mark.slow
+def test_lucidrains_trainer_two_steps(tmp_path):
+    """Two full Trainer steps at 32²: finite metrics, params move, EMA resets/
+    holds per the reference schedule, NaN recovery restores the checkpoint
+    (reference: lucidrains.py:625-1010)."""
+    from maua_tpu.train import LucidrainsConfig, LucidrainsTrainer, NanException
+
+    cfg = LucidrainsConfig(
+        image_size=32,
+        latent_dim=32,
+        style_depth=2,
+        network_capacity=2,
+        batch_size=2,
+        gradient_accumulate_every=2,
+        fq_layers=(1,),
+        attn_layers=(2,),
+    )
+    tr = LucidrainsTrainer(cfg, models_dir=str(tmp_path), save_every=1)
+    g0 = np.asarray(jax.tree_util.tree_leaves(tr.state.g_params)[0]).copy()
+    ge0 = np.asarray(jax.tree_util.tree_leaves(tr.state.ge_params)[0]).copy()
+
+    real = jax.random.normal(jax.random.PRNGKey(5), (2, 2, 3, 32, 32))
+    m1 = tr.train(real)
+    m2 = tr.train(real)
+    for m in (m1, m2):
+        for k, v in m.items():
+            assert np.isfinite(v), (k, v)
+    assert m1["R1"] > 0  # GP applied at step 0 (steps % 4 == 0)
+    assert int(tr.state.step) == 2
+    g1 = np.asarray(jax.tree_util.tree_leaves(tr.state.g_params)[0])
+    assert not np.allclose(g0, g1)
+    # below ema_start and not at a reset step -> EMA params still the init copy
+    assert np.allclose(ge0, np.asarray(jax.tree_util.tree_leaves(tr.state.ge_params)[0]))
+
+    # sampling (EMA + truncation) produces finite images
+    img = tr.generate(jax.random.PRNGKey(9), n=2)
+    assert img.shape == (2, 3, 32, 32) and np.isfinite(img).all()
+
+    # NaN recovery: poison the state, feed NaN reals -> NanException + reload
+    real_nan = real.at[0, 0].set(jnp.nan)
+    with pytest.raises(NanException):
+        tr.train(real_nan)
+    # restored from the last checkpoint (step 2 was saved with save_every=1)
+    assert int(tr.state.step) == 2

@@ -277,3 +277,21 @@ def test_widescreen_synthesis_with_pad_bend():
     )
     assert img.shape == (2, 3, 16, 32)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_precision_policy():
+    """fp32 defaults to HIGHEST; under jax.default_matmul_precision('high')
+    only the config-following sites relax (bf16 always native; exact sites
+    never relax) — the fast-parity operating point's contract."""
+    from jax import lax
+
+    from maua_tpu.models.blocks import _conv_precision, _exact_precision
+
+    xf = jnp.zeros((2, 2), jnp.float32)
+    xb = jnp.zeros((2, 2), jnp.bfloat16)
+    assert _conv_precision(xf) == lax.Precision.HIGHEST
+    assert _conv_precision(xb) is None
+    assert _exact_precision(xf) == lax.Precision.HIGHEST
+    with jax.default_matmul_precision("high"):
+        assert _conv_precision(xf) is None  # defer to the config
+        assert _exact_precision(xf) == lax.Precision.HIGHEST  # never relaxes
