@@ -27,7 +27,7 @@ from .dsp import stft, istft, mel_filterbank, melspectrogram, amplitude_to_db, p
 from .hpss import hpss, harmonic, percussive
 from .onsets import onsets, onset_strength, madmom_onset_ensemble
 from .features import rms, mfcc, drop_strength
-from .chroma import chroma, raw_chroma, chroma_stft, chroma_cqt, chroma_cens, pseudo_cqt
+from .chroma import chroma, raw_chroma, chroma_stft, chroma_cqt, chroma_cens, chroma_clp, pseudo_cqt
 from .segmentation import beat_track, laplacian_segmentation
 from .util import info, plot_signals, plot_spectra, plot_audio, plot_chroma_comparison
 
@@ -63,6 +63,7 @@ __all__ = [
     "chroma_stft",
     "chroma_cqt",
     "chroma_cens",
+    "chroma_clp",
     "pseudo_cqt",
     "beat_track",
     "laplacian_segmentation",

@@ -119,6 +119,19 @@ def chroma_cens(y: Array, sr: int = 22050, hop_length: int = 512, win_len: int =
     return sm / jnp.maximum(denom, 1e-12)
 
 
+def chroma_clp(y: Array, sr: int = 22050, hop_length: int = 512, eta: float = 100.0) -> Array:
+    """CLP chroma [12, T]: Chroma from Log-compressed Pitch (Müller & Ewert's
+    chroma toolbox — the same family madmom's CLPChroma implements): semitone
+    -band energies → log(1 + η·e) compression (η=100, 'CLP100') → pitch-class
+    fold → per-frame l2 normalization. The reference exposes this via
+    chroma(type='clp') (reference: signal.py:119-128)."""
+    P = pseudo_cqt(y, sr=sr, hop_length=hop_length) ** 2  # semitone energies
+    L = jnp.log1p(eta * P)
+    C = _fold_chroma(L)
+    denom = jnp.sqrt(jnp.sum(C**2, axis=0, keepdims=True))
+    return C / jnp.maximum(denom, 1e-12)
+
+
 def nn_filter_cosine(C: np.ndarray, k: int | None = None) -> np.ndarray:
     """Nearest-neighbor median smoothing over time using cosine similarity
     (librosa.decompose.nn_filter equivalent; reference: signal.py:130)."""
@@ -138,14 +151,28 @@ def nn_filter_cosine(C: np.ndarray, k: int | None = None) -> np.ndarray:
 
 def raw_chroma(audio: Array, sr: int, type: str = "cens", nearest_neighbor: bool = True) -> np.ndarray:
     """Chromagram [12, T] (reference: signal.py:102-134). Unknown types fall
-    back to cens like the reference; 'deep'/'clp' (madmom neural chroma) are
-    approximated by cens."""
+    back to cens like the reference. 'clp' is a real log-compressed-pitch
+    chroma; 'deep' (madmom's trained DeepChroma network) has no TPU-native
+    equivalent and substitutes CLP with a loud warning."""
     y = jnp.asarray(audio, jnp.float32)
     if type == "cqt":
         ch = chroma_cqt(y, sr=sr)
     elif type == "stft":
         ch = chroma_stft(y, sr=sr)
-    else:  # cens, deep, clp, unknown
+    elif type == "clp":
+        ch = chroma_clp(y, sr=sr)
+    elif type == "deep":
+        import warnings
+
+        warnings.warn(
+            "chroma type 'deep' (madmom DeepChromaProcessor, a trained neural "
+            "net; reference signal.py:119-123) has no TPU-native equivalent — "
+            "substituting CLP chroma (log-compressed pitch), the closest "
+            "deterministic log-frequency mapping.",
+            stacklevel=2,
+        )
+        ch = chroma_clp(y, sr=sr)
+    else:  # cens, unknown
         ch = chroma_cens(y, sr=sr)
     ch = np.asarray(ch)
     if nearest_neighbor:

@@ -5,7 +5,8 @@ calc_inception.py — the first two had broken imports upstream; these work).
   python -m maua_tpu.eval.cli fid --ckpt g.pt --stats stats.pkl --n_sample 50000
   python -m maua_tpu.eval.cli ppl --ckpt g.pt --n_sample 5000
 
-InceptionV3 weights: pass --inception_weights pointing at a pytorch-fid
+InceptionV3 weights: pass --inception_weights at a torchvision inception_v3
+state dict (the reference's choice), or add --fid_inception for a pytorch-fid
 state dict (pt_inception-2015-12-05-*.pth); without it a randomly-initialized
 feature net is used (relative numbers only — clearly labeled).
 """
@@ -22,10 +23,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _feature_net(weights_path: str | None):
+def _feature_net(weights_path: str | None, fid_variant: bool = False):
     from .inception import InceptionV3, inception_variables_from_torch
 
-    net = InceptionV3()
+    # default torchvision semantics = reference's validation stack; pass
+    # fid_variant=True when `weights_path` is a pytorch-fid pt_inception .pth
+    net = InceptionV3(fid_variant=fid_variant)
     if weights_path:
         import torch
 
@@ -49,7 +52,7 @@ def cmd_inception(args) -> int:
     from ..data import MultiResolutionRecordDataset
     from .metrics import cached_dataset_stats
 
-    feats, calibrated = _feature_net(args.inception_weights)
+    feats, calibrated = _feature_net(args.inception_weights, args.fid_inception)
     ds = MultiResolutionRecordDataset(args.path, resolution=args.size)
 
     def batches():
@@ -72,7 +75,7 @@ def cmd_fid(args) -> int:
     from .metrics import fid
 
     gen, variables = load_generator(args.ckpt)
-    feats, calibrated = _feature_net(args.inception_weights)
+    feats, calibrated = _feature_net(args.inception_weights, args.fid_inception)
 
     @partial(jax.jit, static_argnames=("batch",))
     def _synth(key, batch):
@@ -142,6 +145,7 @@ def main(argv=None) -> int:
     pi.add_argument("--n_sample", type=int, default=None)
     pi.add_argument("--out", type=str, required=True)
     pi.add_argument("--inception_weights", type=str, default=None)
+    pi.add_argument("--fid_inception", action="store_true", help="weights are pytorch-fid pt_inception (FIDInception pools)")
 
     pf = sub.add_parser("fid", help="FID of a checkpoint vs cached stats")
     pf.add_argument("--ckpt", required=True)
@@ -149,6 +153,7 @@ def main(argv=None) -> int:
     pf.add_argument("--n_sample", type=int, default=50_000)
     pf.add_argument("--batch", type=int, default=64)
     pf.add_argument("--inception_weights", type=str, default=None)
+    pf.add_argument("--fid_inception", action="store_true", help="weights are pytorch-fid pt_inception (FIDInception pools)")
 
     pp = sub.add_parser("ppl", help="perceptual path length")
     pp.add_argument("--ckpt", required=True)

@@ -1,11 +1,20 @@
 """InceptionV3 pool3 feature extractor (FID backbone), flax.
 
-Architecture matches the pytorch-fid port the reference uses
+Architecture matches the reference's validation stack
 (reference: validation/inception.py:13-306): conv stem, InceptionA/B/C/D/E
 mixed blocks, global average pool → 2048-d features. BasicConv2d is
 conv(no bias) + batchnorm(eps=1e-3, inference stats) + relu. Weights ingest
 from the pytorch-fid / torchvision state dict via
 `inception_variables_from_torch`.
+
+The reference constructs `models.inception_v3(pretrained=True)` — the
+TORCHVISION variant (validation/inception.py:85, use_fid_inception=False at
+:40) — so that is our default: 3×3/1/1 avg pools divide by 9 everywhere
+(count_include_pad=True) and Mixed_7c's pool branch is an AVG pool.
+`fid_variant=True` switches to pytorch-fid's FIDInception semantics
+(count-excluded avg pools, max pool in Mixed_7c,
+reference: validation/inception.py:183-306) for ingesting the TF-ported
+pt_inception weights.
 
 Input convention (matching pytorch-fid `normalize_input=True` on [0,1] images,
 i.e. x*2-1): images in [-1, 1], NCHW, resized to 299² by the caller (or use
@@ -68,10 +77,13 @@ def _maxpool(x: Array, k: int = 3, s: int = 2, pad: int = 0) -> Array:
     )
 
 
-def _avgpool(x: Array, k: int = 3, s: int = 1, pad: int = 1) -> Array:
+def _avgpool(x: Array, k: int = 3, s: int = 1, pad: int = 1, count_include_pad: bool = True) -> Array:
     summed = jax.lax.reduce_window(
         x, 0.0, jax.lax.add, (1, 1, k, k), (1, 1, s, s), ((0, 0), (0, 0), (pad, pad), (pad, pad))
     )
+    if count_include_pad:  # torch F.avg_pool2d default (torchvision inception)
+        return summed / float(k * k)
+    # pytorch-fid FIDInception pools exclude the zero padding from the count
     counts = jax.lax.reduce_window(
         jnp.ones_like(x), 0.0, jax.lax.add, (1, 1, k, k), (1, 1, s, s), ((0, 0), (0, 0), (pad, pad), (pad, pad))
     )
@@ -80,6 +92,7 @@ def _avgpool(x: Array, k: int = 3, s: int = 1, pad: int = 1) -> Array:
 
 class InceptionA(nn.Module):
     pool_features: int
+    fid_variant: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -89,7 +102,7 @@ class InceptionA(nn.Module):
         b3 = BasicConv2d(64, (1, 1), name="branch3x3dbl_1")(x)
         b3 = BasicConv2d(96, (3, 3), padding=(1, 1), name="branch3x3dbl_2")(b3)
         b3 = BasicConv2d(96, (3, 3), padding=(1, 1), name="branch3x3dbl_3")(b3)
-        bp = _avgpool(x)
+        bp = _avgpool(x, count_include_pad=not self.fid_variant)
         bp = BasicConv2d(self.pool_features, (1, 1), name="branch_pool")(bp)
         return jnp.concatenate([b1, b5, b3, bp], axis=1)
 
@@ -107,6 +120,7 @@ class InceptionB(nn.Module):
 
 class InceptionC(nn.Module):
     channels_7x7: int
+    fid_variant: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -120,7 +134,7 @@ class InceptionC(nn.Module):
         bd = BasicConv2d(c7, (1, 7), padding=(0, 3), name="branch7x7dbl_3")(bd)
         bd = BasicConv2d(c7, (7, 1), padding=(3, 0), name="branch7x7dbl_4")(bd)
         bd = BasicConv2d(192, (1, 7), padding=(0, 3), name="branch7x7dbl_5")(bd)
-        bp = _avgpool(x)
+        bp = _avgpool(x, count_include_pad=not self.fid_variant)
         bp = BasicConv2d(192, (1, 1), name="branch_pool")(bp)
         return jnp.concatenate([b1, b7, bd, bp], axis=1)
 
@@ -139,7 +153,8 @@ class InceptionD(nn.Module):
 
 
 class InceptionE(nn.Module):
-    pool_type: str = "avg"  # fid variant uses max-pool in the LAST E block
+    pool_type: str = "avg"  # pytorch-fid variant uses max-pool in the LAST E block
+    fid_variant: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -156,16 +171,23 @@ class InceptionE(nn.Module):
         if self.pool_type == "max":
             bp = _maxpool(x, 3, 1, 1)
         else:
-            bp = _avgpool(x)
+            bp = _avgpool(x, count_include_pad=not self.fid_variant)
         bp = BasicConv2d(192, (1, 1), name="branch_pool")(bp)
         return jnp.concatenate([b1, b3, bd, bp], axis=1)
 
 
 class InceptionV3(nn.Module):
-    """pool3 (2048-d) feature extractor; input [-1,1] NCHW at 299²."""
+    """pool3 (2048-d) feature extractor; input [-1,1] NCHW at 299².
+
+    Default = torchvision semantics (the reference's choice,
+    validation/inception.py:85); fid_variant=True = pytorch-fid FIDInception.
+    """
+
+    fid_variant: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        fid = self.fid_variant
         x = BasicConv2d(32, (3, 3), stride=2, name="Conv2d_1a_3x3")(x)
         x = BasicConv2d(32, (3, 3), name="Conv2d_2a_3x3")(x)
         x = BasicConv2d(64, (3, 3), padding=(1, 1), name="Conv2d_2b_3x3")(x)
@@ -173,17 +195,17 @@ class InceptionV3(nn.Module):
         x = BasicConv2d(80, (1, 1), name="Conv2d_3b_1x1")(x)
         x = BasicConv2d(192, (3, 3), name="Conv2d_4a_3x3")(x)
         x = _maxpool(x)
-        x = InceptionA(32, name="Mixed_5b")(x)
-        x = InceptionA(64, name="Mixed_5c")(x)
-        x = InceptionA(64, name="Mixed_5d")(x)
+        x = InceptionA(32, fid_variant=fid, name="Mixed_5b")(x)
+        x = InceptionA(64, fid_variant=fid, name="Mixed_5c")(x)
+        x = InceptionA(64, fid_variant=fid, name="Mixed_5d")(x)
         x = InceptionB(name="Mixed_6a")(x)
-        x = InceptionC(128, name="Mixed_6b")(x)
-        x = InceptionC(160, name="Mixed_6c")(x)
-        x = InceptionC(160, name="Mixed_6d")(x)
-        x = InceptionC(192, name="Mixed_6e")(x)
+        x = InceptionC(128, fid_variant=fid, name="Mixed_6b")(x)
+        x = InceptionC(160, fid_variant=fid, name="Mixed_6c")(x)
+        x = InceptionC(160, fid_variant=fid, name="Mixed_6d")(x)
+        x = InceptionC(192, fid_variant=fid, name="Mixed_6e")(x)
         x = InceptionD(name="Mixed_7a")(x)
-        x = InceptionE(name="Mixed_7b")(x)
-        x = InceptionE(pool_type="max", name="Mixed_7c")(x)
+        x = InceptionE(fid_variant=fid, name="Mixed_7b")(x)
+        x = InceptionE(pool_type="max" if fid else "avg", fid_variant=fid, name="Mixed_7c")(x)
         return jnp.mean(x, axis=(2, 3))  # adaptive avg pool -> [N, 2048]
 
     @staticmethod

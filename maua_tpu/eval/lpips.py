@@ -86,7 +86,10 @@ class _AlexFeatures(nn.Module):
 
 
 def _unit_normalize(x: Array, eps: float = 1e-10) -> Array:
-    return x * jax.lax.rsqrt(jnp.sum(jnp.square(x), axis=1, keepdims=True) + eps)
+    # reference util.normalize_tensor: x / (||x||_C + eps). The tiny inner
+    # epsilon keeps sqrt differentiable at 0 without changing the value.
+    norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=1, keepdims=True) + 1e-20)
+    return x / (norm + eps)
 
 
 class LPIPS(nn.Module):

@@ -131,6 +131,19 @@ def generate(
     n_frames = int(round(duration * fps))
     args.duration, args.n_frames = duration, n_frames
 
+    # Reconcile G_res with the checkpoint's actual resolution: the config is
+    # auto-inferred at load time but a stale --G_res flag would override it
+    # (and silently break the noise-scale geometry, e.g. fractional sizes).
+    if not stylegan1:
+        from ..io import infer_generator_config, load_torch_checkpoint
+
+        _sd = load_torch_checkpoint(ckpt)
+        true_size = infer_generator_config(_sd.get("g_ema", _sd))["size"]
+        del _sd
+        if true_size != G_res:
+            print(f"G_res={G_res} does not match checkpoint resolution {true_size}; using {true_size}")
+            G_res = args.G_res = true_size
+
     # the reference's CLI loads initialize from the default plugin file when
     # unset (generate_audiovisual.py:266-283); match that here so the default
     # get_latents/get_noise always see their lo/hi onset envelopes

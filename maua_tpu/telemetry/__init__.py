@@ -7,7 +7,7 @@ daemon (gpumon.py), and spectral-norm instrumentation
 (validation/spectral_norm.py).
 """
 
-from .profiling import phase, profile_trace, device_memory_stats, log_compile_stats
+from .profiling import phase, profile_trace, device_memory_stats, log_compile_stats, install_compile_metrics
 from .memory import memory_snapshot, log_memory_deltas, save_device_memory_profile
 from .spectral import init_spectral_state, spectral_norms
 
@@ -16,6 +16,7 @@ __all__ = [
     "profile_trace",
     "device_memory_stats",
     "log_compile_stats",
+    "install_compile_metrics",
     "init_spectral_state",
     "spectral_norms",
     "memory_snapshot",

@@ -39,12 +39,40 @@ def device_memory_stats(device: Optional[jax.Device] = None) -> dict[str, int]:
     return dict(stats) if stats else {}
 
 
-def log_compile_stats() -> dict[str, float]:
-    """Compilation-time counters from jax's internal metrics (the closest
-    analogue of gpumon's out-of-band health channel)."""
-    try:
-        from jax._src import monitoring  # noqa: F401
+_COMPILE_EVENT_TOTALS: dict[str, float] = {}
+_COMPILE_EVENT_COUNTS: dict[str, int] = {}
+_LISTENER_INSTALLED = False
 
-        return {}
+
+def _on_event_duration(event: str, duration_secs: float, **_meta) -> None:
+    _COMPILE_EVENT_TOTALS[event] = _COMPILE_EVENT_TOTALS.get(event, 0.0) + float(duration_secs)
+    _COMPILE_EVENT_COUNTS[event] = _COMPILE_EVENT_COUNTS.get(event, 0) + 1
+
+
+def install_compile_metrics() -> bool:
+    """Start accumulating jax's internal event durations (trace/lower/compile
+    times per executable). Idempotent; returns False when the monitoring hook
+    is unavailable in this jax build."""
+    global _LISTENER_INSTALLED
+    if _LISTENER_INSTALLED:
+        return True
+    try:
+        from jax._src import monitoring
+
+        monitoring.register_event_duration_secs_listener(_on_event_duration)
     except Exception:
-        return {}
+        return False
+    _LISTENER_INSTALLED = True
+    return True
+
+
+def log_compile_stats() -> dict[str, float]:
+    """Snapshot of accumulated compilation-time counters — the out-of-band
+    compiler-health channel (gpumon.py's analogue for XLA). Keys are jax's
+    event names (e.g. .../backend_compile_time) plus a `<event>/count` entry.
+    Call `install_compile_metrics()` first (the train CLI does)."""
+    out: dict[str, float] = {}
+    for k, total in _COMPILE_EVENT_TOTALS.items():
+        out[k] = total
+        out[f"{k}/count"] = float(_COMPILE_EVENT_COUNTS[k])
+    return out

@@ -67,6 +67,21 @@ def train_loop(args) -> None:
     state, gen, disc = init_train_state(jax.random.PRNGKey(args.seed), cfg)
     step_fn = jax.jit(make_train_step(gen, disc, cfg))
 
+    # jitted EMA sampler for FID-in-training: eager dispatch is slow
+    # everywhere and unsupported on the tunneled axon backend
+    from functools import partial as _partial
+
+    @_partial(jax.jit, static_argnames=("batch",))
+    def _fid_synth(g_ema_params, g_buffers, key, batch):
+        z = jax.random.normal(key, (batch, cfg.latent_dim))
+        img, _ = gen.apply({"params": g_ema_params, "buffers": g_buffers}, z, randomize_noise=False)
+        return img
+
+    @jax.jit
+    def _grid_synth(g_ema_params, g_buffers, z):
+        img, _ = gen.apply({"params": g_ema_params, "buffers": g_buffers}, z, randomize_noise=False)
+        return img
+
     if args.checkpoint:
         if args.checkpoint.endswith(".pt"):
             state = load_torch_training_checkpoint(args.checkpoint, state, args.transfer_mapping_only)
@@ -109,7 +124,7 @@ def train_loop(args) -> None:
 
         from ..eval.cli import _feature_net
 
-        eval_feats, _ = _feature_net(args.inception_weights)
+        eval_feats, _ = _feature_net(args.inception_weights, getattr(args, 'fid_inception', False))
         with open(args.inception_stats, "rb") as f:
             real_stats = pickle.load(f)
 
@@ -118,7 +133,9 @@ def train_loop(args) -> None:
     monitor = None
     if args.monitor:
         from ..telemetry.monitor import DeviceMonitor
+        from ..telemetry.profiling import install_compile_metrics
 
+        install_compile_metrics()  # accumulate XLA trace/lower/compile timings
         monitor = DeviceMonitor(os.path.join(args.run_dir, "tpumon.jsonl"), wandb_run=wandb_run).start()
     trace_ctx = None
     if args.profile:
@@ -173,11 +190,7 @@ def train_loop(args) -> None:
                 wandb_run.log(log, step=i)
 
         if is_main_process() and args.img_every > 0 and i % args.img_every == 0:
-            imgs, _ = gen.apply(
-                {"params": state.g_ema_params, "buffers": state.g_buffers},
-                sample_z,
-                randomize_noise=False,
-            )
+            imgs = _grid_synth(state.g_ema_params, state.g_buffers, sample_z)
             save_image_grid(np.asarray(imgs), os.path.join(args.run_dir, f"samples/{i:07d}.png"))
 
         if (
@@ -190,13 +203,7 @@ def train_loop(args) -> None:
             from ..eval import fid as fid_fn
 
             def synthesize(key, batch):
-                z = jax.random.normal(key, (batch, cfg.latent_dim))
-                img, _ = gen.apply(
-                    {"params": state.g_ema_params, "buffers": state.g_buffers},
-                    z,
-                    randomize_noise=False,
-                )
-                return img
+                return _fid_synth(state.g_ema_params, state.g_buffers, key, batch)
 
             scores = fid_fn(
                 synthesize, eval_feats, real_stats,
@@ -265,6 +272,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval_every", type=int, default=0, help="FID interval (0 = off)")
     p.add_argument("--inception_stats", type=str, default=None, help="pkl from eval.cli inception")
     p.add_argument("--inception_weights", type=str, default=None)
+    p.add_argument("--fid_inception", action="store_true", help="inception_weights are pytorch-fid pt_inception")
     p.add_argument("--fid_n_sample", type=int, default=2500)
     p.add_argument("--fid_batch", type=int, default=6)
     p.add_argument("--profile", action="store_true", help="capture an xprof trace of the first iters")

@@ -204,3 +204,24 @@ def test_plot_utils_write_files(tmp_path):
         assert os.path.getsize(p) > 0
     msg = audio.info(sig, "sig")
     assert "shape=(30,)" in msg
+
+
+def test_chroma_clp_concentrates_on_played_note():
+    y = np.sin(2 * np.pi * 440 * np.arange(SR * 2) / SR).astype(np.float32)
+    ch = np.asarray(audio.chroma_clp(y, SR))
+    assert ch.shape[0] == 12
+    assert int(np.argmax(ch.mean(axis=1))) == 9  # A
+    norms = np.linalg.norm(ch, axis=0)
+    assert np.allclose(norms[norms > 1e-6], 1.0, atol=1e-5)  # l2 per frame
+
+
+def test_chroma_deep_warns_and_substitutes_clp():
+    import warnings
+
+    y = np.sin(2 * np.pi * 440 * np.arange(SR) / SR).astype(np.float32)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        ch = audio.raw_chroma(y, SR, type="deep", nearest_neighbor=False)
+    assert any("DeepChroma" in str(w.message) for w in rec)
+    want = audio.raw_chroma(y, SR, type="clp", nearest_neighbor=False)
+    np.testing.assert_allclose(ch, want, atol=1e-6)

@@ -81,3 +81,23 @@ def test_memory_tracing_helpers():
         _ = jnp.zeros((64, 64)) + 1
     # CPU backend may not expose stats; the context must not raise either way
     assert isinstance(logs, list)
+
+
+def test_compile_stats_accumulate():
+    import jax
+    import jax.numpy as jnp
+
+    from maua_tpu.telemetry import install_compile_metrics, log_compile_stats
+
+    assert install_compile_metrics()
+    assert install_compile_metrics()  # idempotent
+
+    @jax.jit
+    def _fresh(x):
+        return jnp.tanh(x) * 3.14159  # unique body -> guaranteed fresh compile
+
+    _fresh(jnp.ones((4, 4))).block_until_ready()
+    stats = log_compile_stats()
+    assert stats, "no events recorded by jax monitoring"
+    assert any(k.endswith("/count") for k in stats)
+    assert all(v >= 0 for v in stats.values())

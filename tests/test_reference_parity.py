@@ -153,3 +153,413 @@ def test_op_parity_fused_leaky_relu_cpu(ref_sg2):
 
     got = np.asarray(fused_leaky_relu(jnp.asarray(x), jnp.asarray(b)))
     np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Eval-stack weight-ingestion golden tests (VERDICT r1 item 4).
+#
+# The reference's validation stack imports torchvision (absent from this
+# image), so we mirror the exact torch modules it uses — torchvision
+# inception_v3 semantics (validation/inception.py:85, use_fid_inception=False
+# at :40) and PNetLin-vgg (validation/lpips/networks_basic.py:21-98) — in
+# pure torch.nn here, load IDENTICAL weights into our flax ports via the
+# real ingestion functions, and assert feature/distance parity.
+# ---------------------------------------------------------------------------
+
+
+def _torch_inception_v3():
+    """torchvision-semantics InceptionV3 pool3 trunk in pure torch.nn, with
+    state-dict keys matching torchvision (<block>.<branch>.conv/bn.*)."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    class BasicConv2d(nn.Module):
+        def __init__(self, cin, cout, **kw):
+            super().__init__()
+            self.conv = nn.Conv2d(cin, cout, bias=False, **kw)
+            self.bn = nn.BatchNorm2d(cout, eps=0.001)
+
+        def forward(self, x):
+            return F.relu(self.bn(self.conv(x)))
+
+    class IncA(nn.Module):
+        def __init__(self, cin, pool_features):
+            super().__init__()
+            self.branch1x1 = BasicConv2d(cin, 64, kernel_size=1)
+            self.branch5x5_1 = BasicConv2d(cin, 48, kernel_size=1)
+            self.branch5x5_2 = BasicConv2d(48, 64, kernel_size=5, padding=2)
+            self.branch3x3dbl_1 = BasicConv2d(cin, 64, kernel_size=1)
+            self.branch3x3dbl_2 = BasicConv2d(64, 96, kernel_size=3, padding=1)
+            self.branch3x3dbl_3 = BasicConv2d(96, 96, kernel_size=3, padding=1)
+            self.branch_pool = BasicConv2d(cin, pool_features, kernel_size=1)
+
+        def forward(self, x):
+            import torch
+            return torch.cat([
+                self.branch1x1(x),
+                self.branch5x5_2(self.branch5x5_1(x)),
+                self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x))),
+                self.branch_pool(F.avg_pool2d(x, 3, stride=1, padding=1)),
+            ], 1)
+
+    class IncB(nn.Module):
+        def __init__(self, cin):
+            super().__init__()
+            self.branch3x3 = BasicConv2d(cin, 384, kernel_size=3, stride=2)
+            self.branch3x3dbl_1 = BasicConv2d(cin, 64, kernel_size=1)
+            self.branch3x3dbl_2 = BasicConv2d(64, 96, kernel_size=3, padding=1)
+            self.branch3x3dbl_3 = BasicConv2d(96, 96, kernel_size=3, stride=2)
+
+        def forward(self, x):
+            import torch
+            return torch.cat([
+                self.branch3x3(x),
+                self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x))),
+                F.max_pool2d(x, 3, stride=2),
+            ], 1)
+
+    class IncC(nn.Module):
+        def __init__(self, cin, c7):
+            super().__init__()
+            self.branch1x1 = BasicConv2d(cin, 192, kernel_size=1)
+            self.branch7x7_1 = BasicConv2d(cin, c7, kernel_size=1)
+            self.branch7x7_2 = BasicConv2d(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+            self.branch7x7_3 = BasicConv2d(c7, 192, kernel_size=(7, 1), padding=(3, 0))
+            self.branch7x7dbl_1 = BasicConv2d(cin, c7, kernel_size=1)
+            self.branch7x7dbl_2 = BasicConv2d(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+            self.branch7x7dbl_3 = BasicConv2d(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+            self.branch7x7dbl_4 = BasicConv2d(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+            self.branch7x7dbl_5 = BasicConv2d(c7, 192, kernel_size=(1, 7), padding=(0, 3))
+            self.branch_pool = BasicConv2d(cin, 192, kernel_size=1)
+
+        def forward(self, x):
+            import torch
+            b7 = self.branch7x7_3(self.branch7x7_2(self.branch7x7_1(x)))
+            bd = self.branch7x7dbl_5(self.branch7x7dbl_4(self.branch7x7dbl_3(
+                self.branch7x7dbl_2(self.branch7x7dbl_1(x)))))
+            return torch.cat([
+                self.branch1x1(x), b7, bd,
+                self.branch_pool(F.avg_pool2d(x, 3, stride=1, padding=1)),
+            ], 1)
+
+    class IncD(nn.Module):
+        def __init__(self, cin):
+            super().__init__()
+            self.branch3x3_1 = BasicConv2d(cin, 192, kernel_size=1)
+            self.branch3x3_2 = BasicConv2d(192, 320, kernel_size=3, stride=2)
+            self.branch7x7x3_1 = BasicConv2d(cin, 192, kernel_size=1)
+            self.branch7x7x3_2 = BasicConv2d(192, 192, kernel_size=(1, 7), padding=(0, 3))
+            self.branch7x7x3_3 = BasicConv2d(192, 192, kernel_size=(7, 1), padding=(3, 0))
+            self.branch7x7x3_4 = BasicConv2d(192, 192, kernel_size=3, stride=2)
+
+        def forward(self, x):
+            import torch
+            return torch.cat([
+                self.branch3x3_2(self.branch3x3_1(x)),
+                self.branch7x7x3_4(self.branch7x7x3_3(self.branch7x7x3_2(self.branch7x7x3_1(x)))),
+                F.max_pool2d(x, 3, stride=2),
+            ], 1)
+
+    class IncE(nn.Module):
+        def __init__(self, cin):
+            super().__init__()
+            self.branch1x1 = BasicConv2d(cin, 320, kernel_size=1)
+            self.branch3x3_1 = BasicConv2d(cin, 384, kernel_size=1)
+            self.branch3x3_2a = BasicConv2d(384, 384, kernel_size=(1, 3), padding=(0, 1))
+            self.branch3x3_2b = BasicConv2d(384, 384, kernel_size=(3, 1), padding=(1, 0))
+            self.branch3x3dbl_1 = BasicConv2d(cin, 448, kernel_size=1)
+            self.branch3x3dbl_2 = BasicConv2d(448, 384, kernel_size=3, padding=1)
+            self.branch3x3dbl_3a = BasicConv2d(384, 384, kernel_size=(1, 3), padding=(0, 1))
+            self.branch3x3dbl_3b = BasicConv2d(384, 384, kernel_size=(3, 1), padding=(1, 0))
+            self.branch_pool = BasicConv2d(cin, 192, kernel_size=1)
+
+        def forward(self, x):
+            import torch
+            b3 = self.branch3x3_1(x)
+            b3 = torch.cat([self.branch3x3_2a(b3), self.branch3x3_2b(b3)], 1)
+            bd = self.branch3x3dbl_2(self.branch3x3dbl_1(x))
+            bd = torch.cat([self.branch3x3dbl_3a(bd), self.branch3x3dbl_3b(bd)], 1)
+            return torch.cat([
+                self.branch1x1(x), b3, bd,
+                self.branch_pool(F.avg_pool2d(x, 3, stride=1, padding=1)),
+            ], 1)
+
+    class Inception(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.Conv2d_1a_3x3 = BasicConv2d(3, 32, kernel_size=3, stride=2)
+            self.Conv2d_2a_3x3 = BasicConv2d(32, 32, kernel_size=3)
+            self.Conv2d_2b_3x3 = BasicConv2d(32, 64, kernel_size=3, padding=1)
+            self.Conv2d_3b_1x1 = BasicConv2d(64, 80, kernel_size=1)
+            self.Conv2d_4a_3x3 = BasicConv2d(80, 192, kernel_size=3)
+            self.Mixed_5b = IncA(192, 32)
+            self.Mixed_5c = IncA(256, 64)
+            self.Mixed_5d = IncA(288, 64)
+            self.Mixed_6a = IncB(288)
+            self.Mixed_6b = IncC(768, 128)
+            self.Mixed_6c = IncC(768, 160)
+            self.Mixed_6d = IncC(768, 160)
+            self.Mixed_6e = IncC(768, 192)
+            self.Mixed_7a = IncD(768)
+            self.Mixed_7b = IncE(1280)
+            self.Mixed_7c = IncE(2048)
+
+        def forward(self, x):
+            x = self.Conv2d_2b_3x3(self.Conv2d_2a_3x3(self.Conv2d_1a_3x3(x)))
+            x = F.max_pool2d(x, 3, stride=2)
+            x = self.Conv2d_4a_3x3(self.Conv2d_3b_1x1(x))
+            x = F.max_pool2d(x, 3, stride=2)
+            for blk in ["Mixed_5b", "Mixed_5c", "Mixed_5d", "Mixed_6a", "Mixed_6b",
+                        "Mixed_6c", "Mixed_6d", "Mixed_6e", "Mixed_7a", "Mixed_7b", "Mixed_7c"]:
+                x = getattr(self, blk)(x)
+            return x.mean(dim=(2, 3))
+
+    return Inception()
+
+
+def _randomize_torch_weights(net, seed=0):
+    """Scale-preserving random weights + perturbed BN inference stats."""
+    import torch
+
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for name, p in net.named_parameters():
+            if p.ndim == 4:  # conv: he-scaled so activations neither blow up nor die
+                fan_in = p.shape[1] * p.shape[2] * p.shape[3]
+                p.copy_(torch.randn(p.shape, generator=g) * (2.0 / fan_in) ** 0.5)
+            elif "bn.weight" in name or name.endswith("bn.weight"):
+                p.copy_(0.8 + 0.4 * torch.rand(p.shape, generator=g))
+            else:
+                p.copy_(torch.randn(p.shape, generator=g) * 0.1)
+        for name, b in net.named_buffers():
+            if "running_var" in name:
+                b.copy_(0.7 + 0.6 * torch.rand(b.shape, generator=g))
+            elif "running_mean" in name:
+                b.copy_(torch.randn(b.shape, generator=g) * 0.1)
+
+
+def test_inception_feature_parity_vs_torch_mirror():
+    """Flax InceptionV3 + inception_variables_from_torch reproduce the
+    reference's torchvision-variant feature extractor bit-for-bit-ish
+    (reference: validation/inception.py:85,129-161)."""
+    import jax.numpy as jnp
+    import torch
+
+    from maua_tpu.eval.inception import InceptionV3, inception_variables_from_torch
+
+    tnet = _torch_inception_v3().eval()
+    _randomize_torch_weights(tnet)
+    sd = {k: v.detach().numpy() for k, v in tnet.state_dict().items()}
+
+    x = np.random.RandomState(1).randn(2, 3, 128, 128).astype(np.float32)
+    with torch.no_grad():
+        ref = tnet(torch.from_numpy(x)).numpy()
+
+    net = InceptionV3()  # torchvision semantics = reference default
+    variables = inception_variables_from_torch(sd)
+    ours = np.asarray(net.apply(variables, jnp.asarray(x)))
+
+    assert ref.shape == ours.shape == (2, 2048)
+    scale = np.abs(ref).mean()
+    assert scale > 1e-3, "degenerate activations — mirror init went flat"
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4 * scale)
+
+
+def test_lpips_parity_with_vendored_lin_weights():
+    """Flax LPIPS vs a pure-torch PNetLin-vgg mirror using the REFERENCE'S OWN
+    vendored richzhang lin weights (validation/lpips/weights/v0.1/vgg.pth) and
+    an identical random vgg16 backbone (networks_basic.py:21-98)."""
+    import jax.numpy as jnp
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    from maua_tpu.eval.lpips import LPIPS, lpips_variables_from_torch
+
+    lin_path = os.path.join(REFERENCE, "validation/lpips/weights/v0.1/vgg.pth")
+    lin_sd = torch.load(lin_path, map_location="cpu")
+
+    # torchvision vgg16.features layout: conv indices 0,2,5,7,10,12,14,17,19,21,24,26,28
+    cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512, "M", 512, 512, 512]
+    layers, cin = [], 3
+    for v in cfg:
+        if v == "M":
+            layers.append(nn.MaxPool2d(2, 2))
+        else:
+            layers += [nn.Conv2d(cin, v, 3, padding=1), nn.ReLU()]
+            cin = v
+    class VGGWrap(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.features = nn.Sequential(*layers)
+    tvgg = VGGWrap().eval()
+    g = torch.Generator().manual_seed(0)
+    with torch.no_grad():
+        for p in tvgg.parameters():
+            if p.ndim == 4:
+                fan_in = p.shape[1] * p.shape[2] * p.shape[3]
+                p.copy_(torch.randn(p.shape, generator=g) * (2.0 / fan_in) ** 0.5)
+            else:
+                p.copy_(torch.randn(p.shape, generator=g) * 0.05)
+
+    shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+    scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+    slice_ends = {3, 8, 15, 22, 29}
+
+    def torch_lpips(a, b):
+        def feats(t):
+            t = (t - shift) / scale
+            out = []
+            for i, m in enumerate(tvgg.features):
+                t = m(t)
+                if i in slice_ends:
+                    out.append(t)
+            return out
+
+        def norm(t):
+            return t / (t.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+
+        total = 0.0
+        for i, (fa, fb) in enumerate(zip(feats(a), feats(b))):
+            d = (norm(fa) - norm(fb)) ** 2
+            # NetLinLayer = 1x1 conv, weight (1, C, 1, 1); spatial_average after
+            total = total + F.conv2d(d, lin_sd[f"lin{i}.model.1.weight"]).mean(dim=(2, 3)).squeeze(1)
+        return total
+
+    rng = np.random.RandomState(2)
+    a = rng.uniform(-1, 1, (2, 3, 64, 64)).astype(np.float32)
+    b = rng.uniform(-1, 1, (2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref = torch_lpips(torch.from_numpy(a), torch.from_numpy(b)).numpy()
+
+    backbone_sd = {k: v.detach().numpy() for k, v in tvgg.state_dict().items()}
+    lin_np = {k: v.numpy() for k, v in lin_sd.items()}
+    lp = LPIPS(net="vgg")
+    variables = lpips_variables_from_torch(backbone_sd, lin_np, "vgg")
+    ours = np.asarray(lp.apply(variables, jnp.asarray(a), jnp.asarray(b)))
+
+    assert ref.shape == ours.shape == (2,)
+    assert float(np.abs(ref).min()) > 0
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# ADA augmentation parity vs the reference pipeline (VERDICT r1 item 5).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ref_augment_mod(ref_sg2):  # ref_sg2 installs the CUDA stub + sys.path
+    import augment as ref_aug
+
+    return ref_aug
+
+
+def _smooth_test_image(h=64, w=64):
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    return np.stack([
+        np.sin(2 * np.pi * xx / 32) * np.cos(2 * np.pi * yy / 24),
+        np.cos(2 * np.pi * (xx + yy) / 40),
+        np.sin(2 * np.pi * yy / 16) * 0.5,
+    ]).astype(np.float32)[None] * 0.5
+
+
+_ADA_MATRICES = {
+    "translate_4px": [[1, 0, 2 * 4 / 64], [0, 1, 0], [0, 0, 1]],
+    "translate_frac": [[1, 0, 0.07], [0, 1, -0.05], [0, 0, 1]],
+    "rotate": [[0.9553, -0.2955, 0], [0.2955, 0.9553, 0], [0, 0, 1]],  # 0.3 rad
+    "scale_up": [[1.25, 0, 0], [0, 1.25, 0], [0, 0, 1]],
+    "scale_down": [[0.8, 0, 0], [0, 0.8, 0], [0, 0, 1]],
+    "xflip": [[-1, 0, 0], [0, 1, 0], [0, 0, 1]],
+}
+
+
+@pytest.mark.parametrize("name", sorted(_ADA_MATRICES))
+def test_ada_affine_parity_composed(ref_augment_mod, name):
+    """Geometric parity with the reference ADA pipeline for fixed matrices
+    (reference: augment.py:292-368).
+
+    The reference resampler is NOT identity at G=I (endpoint-inclusive
+    linspace grid + align_corners=False grid_sample costs ~0.1 max err and a
+    sub-pixel shift on its own input — measured, see PARITY.md); our static-pad
+    redesign IS identity-exact, so raw outputs can never agree bit-wise.
+    The invariant that CAN hold is composed equivalence:
+
+        ref(G, x)  ≈  ref(I, ours(G, x))
+
+    i.e. our warp followed by the reference's fixed resampling artifact equals
+    the reference's warp. Exactly 0 at identity, ≤7% of image scale for every
+    elementary transform (xflip worst: the artifact's sub-pixel shift does not
+    commute with mirroring)."""
+    import jax.numpy as jnp
+    import torch
+
+    from maua_tpu.train.augment import AugmentParams
+    from maua_tpu.train.augment import augment as our_augment
+
+    img = _smooth_test_image()
+    B = img.shape[0]
+    C = np.tile(np.eye(4, dtype=np.float32)[None], (B, 1, 1))
+    I3 = np.eye(3, dtype=np.float32)[None]
+
+    def ref_apply(x, G):
+        out, _ = ref_augment_mod.augment(
+            torch.from_numpy(np.ascontiguousarray(x)), 1.0,
+            (torch.from_numpy(G), torch.from_numpy(C)),
+        )
+        return out.numpy()
+
+    G = np.asarray(_ADA_MATRICES[name], np.float32)[None]
+    ref_out = ref_apply(img, G)
+    ours, _ = our_augment(jnp.asarray(img), 1.0, params=AugmentParams(jnp.asarray(G), jnp.asarray(C)))
+    composed = ref_apply(np.asarray(ours), I3)
+
+    m = 12  # interior: reflect-pad domains differ at the frame
+    d = np.abs(ref_out[:, :, m:-m, m:-m] - composed[:, :, m:-m, m:-m]).max()
+    scale = np.abs(ref_out[:, :, m:-m, m:-m]).max()
+    assert d <= 0.15 * max(scale, 0.5), f"{name}: composed err {d:.4f} vs scale {scale:.3f}"
+    # and the transform actually did something (not a no-op agreeing trivially)
+    moved = np.abs(ref_out[:, :, m:-m, m:-m] - img[:, :, m:-m, m:-m]).max()
+    assert moved > 4 * d, f"{name}: transform too weak to distinguish ({moved:.4f} vs {d:.4f})"
+
+
+def test_ada_identity_is_noop_in_interior(ref_augment_mod):
+    """At G=I our resampler is a true no-op away from the reflect-pad frame
+    (the reference's is not — it lowpasses and shifts its own input, which is
+    why raw-output parity is measured via composition above)."""
+    import jax.numpy as jnp
+    import torch
+
+    from maua_tpu.train.augment import AugmentParams
+    from maua_tpu.train.augment import augment as our_augment
+
+    img = _smooth_test_image()
+    C = np.tile(np.eye(4, dtype=np.float32)[None], (1, 1, 1))
+    I3 = np.eye(3, dtype=np.float32)[None]
+    ours, _ = our_augment(jnp.asarray(img), 1.0, params=AugmentParams(jnp.asarray(I3), jnp.asarray(C)))
+    m = 12
+    np.testing.assert_allclose(np.asarray(ours)[:, :, m:-m, m:-m], img[:, :, m:-m, m:-m], atol=2e-6)
+
+    # the reference's identity artifact, for the record: NOT a no-op
+    ref_x, _ = ref_augment_mod.augment(
+        torch.from_numpy(img.copy()), 1.0, (torch.from_numpy(I3), torch.from_numpy(C))
+    )
+    ref_err = np.abs(ref_x.numpy()[:, :, m:-m, m:-m] - img[:, :, m:-m, m:-m]).max()
+    assert ref_err > 0.02, "reference resampler became identity-exact? revisit composed-parity tolerances"
+
+
+def test_ada_color_parity_exact(ref_augment_mod):
+    """apply_color is pure linear algebra — must match the reference exactly
+    (reference: augment.py:344-352)."""
+    import jax.numpy as jnp
+    import torch
+
+    from maua_tpu.train.augment import apply_color, sample_color
+    import jax
+
+    img = np.random.RandomState(3).randn(4, 3, 16, 16).astype(np.float32)
+    C = np.asarray(sample_color(jax.random.PRNGKey(7), 1.0, 4))
+    ref = ref_augment_mod.apply_color(torch.from_numpy(img.copy()), torch.from_numpy(C)).numpy()
+    ours = np.asarray(apply_color(jnp.asarray(img), jnp.asarray(C)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)

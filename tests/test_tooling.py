@@ -49,7 +49,7 @@ def test_eval_cli_inception_and_fid(shard_dir, tiny_ckpt2, tmp_path, capsys, mon
     slow for the 1-core CI box)."""
     import maua_tpu.eval.cli as cli
 
-    def tiny_features(weights_path):
+    def tiny_features(weights_path, fid_variant=False):
         def feats(img):
             import jax.numpy as jnp
 
@@ -153,3 +153,19 @@ def test_projector_inversion_reduces_loss(tiny_ckpt2):
     assert latent.shape == (1, gen.n_latent, gen.style_dim)
     assert len(noises) == gen.num_layers
     assert history[-1]["dist"] < history[0]["dist"]
+
+
+def test_vae_sweep_cli(shard_dir, capsys):
+    from maua_tpu.train.vae_cli import main
+
+    # decoder rebuilds from 2x2, so size must equal 2^(n_layers+1)
+    rc = main([
+        "--path", shard_dir, "--model", "logcosh", "--size", "32",
+        "--iter", "4", "--batch_size", "2", "--latent_dim", "16",
+        "--number_filters", "4", "--n_layers", "4", "--learning_rate", "1e-3",
+    ])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines() if l.startswith("{")]
+    score_line = [l for l in lines if "Score" in l][-1]
+    assert np.isfinite(score_line["Score"])
+    assert not score_line.get("failed", False)
