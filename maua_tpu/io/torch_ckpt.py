@@ -16,6 +16,7 @@ Layout conventions mapped:
 from __future__ import annotations
 
 import re
+import warnings
 from typing import Any, Mapping
 
 import jax.numpy as jnp
@@ -208,6 +209,20 @@ def load_generator(
     ckpt = load_torch_checkpoint(checkpoint)
     sd = ckpt[key] if key in ckpt else ckpt
     config = infer_generator_config(sd)
+    # Architecture keys are authoritative from the state dict: the variables
+    # come from `sd` regardless of `overrides`, so a conflicting override
+    # (e.g. a CLI default --noconst/--size that doesn't match the checkpoint)
+    # would build a Generator whose param tree cannot be applied. The
+    # reference crashes on such mismatches (models/stylegan2.py:458-459 raw
+    # load_state_dict); we keep the inferred value and warn instead.
+    for k, v in list(overrides.items()):
+        if k in config:
+            if v != config[k]:
+                warnings.warn(
+                    f"load_generator: ignoring override {k}={v!r}; checkpoint "
+                    f"implies {k}={config[k]!r}"
+                )
+            overrides.pop(k)
     config.update(overrides)
     gen = Generator(output_size=output_size, base_res_factor=base_res_factor, **config)
     variables = generator_variables_from_torch(sd)

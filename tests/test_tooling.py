@@ -169,3 +169,22 @@ def test_vae_sweep_cli(shard_dir, capsys):
     score_line = [l for l in lines if "Score" in l][-1]
     assert np.isfinite(score_line["Score"])
     assert not score_line.get("failed", False)
+
+
+def test_select_latents_cli(tiny_ckpt2, tmp_path):
+    from maua_tpu.pipeline.select_latents import main
+
+    out = str(tmp_path / "sel")
+    rc = main([
+        "--ckpt", tiny_ckpt2, "--n", "6", "--out", out,
+        "--pick", "intro=0,2", "--pick", "drop=1,3,5", "--seed", "3",
+    ])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "sheet.jpg"))
+    all_lat = np.load(os.path.join(out, "all_latents.npy"))
+    intro = np.load(os.path.join(out, "intro_latents.npy"))
+    drop = np.load(os.path.join(out, "drop_latents.npy"))
+    assert all_lat.shape[0] == 6 and all_lat.ndim == 3  # [n, L, D] W+
+    np.testing.assert_array_equal(intro, all_lat[[0, 2]])
+    np.testing.assert_array_equal(drop, all_lat[[1, 3, 5]])
+    assert os.path.exists(os.path.join(out, "intro_sheet.jpg"))

@@ -105,3 +105,25 @@ def test_save_torch_checkpoint_roundtrips_through_loader(tmp_path):
     a, _ = gen.apply(variables, z, randomize_noise=False)
     b, _ = gen2.apply(loaded, z, randomize_noise=False)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_load_generator_ignores_conflicting_arch_overrides(tmp_path):
+    """CLI defaults that disagree with the checkpoint (e.g. constant_input on
+    a noconst ckpt, wrong size) must not build an unapplyable Generator: the
+    state dict is authoritative for architecture keys — warn and proceed."""
+    from maua_tpu.io import load_generator, save_torch_checkpoint
+
+    gen = Generator(size=16, style_dim=32, n_mlp=1, channel_multiplier=1,
+                    constant_input=False, channel_max=32)
+    variables = gen.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, jnp.zeros((1, 32))
+    )
+    p = str(tmp_path / "noconst.pt")
+    save_torch_checkpoint(p, gen, variables)
+
+    with pytest.warns(UserWarning, match="constant_input"):
+        gen2, loaded = load_generator(p, constant_input=True, size=1024, style_dim=512)
+    assert gen2.size == 16 and not gen2.constant_input
+    z = jax.random.normal(jax.random.PRNGKey(2), (2, 32))
+    img, _ = gen2.apply(loaded, z, randomize_noise=False)
+    assert np.isfinite(np.asarray(img)).all()

@@ -220,3 +220,30 @@ def test_train_step_with_contrastive_and_bcr():
     for k, v in metrics.items():
         assert np.isfinite(float(v)), (k, v)
     assert not np.allclose(h0, np.asarray(state.cl_head["w1"]))
+
+
+def test_bilinear_sample_packed_matches_plain():
+    """The TPU packed single-gather warp sampler is bit-equivalent to the
+    plain 4-gather form, including out-of-range zeros — and its custom VJP
+    (2-D [C*4,HW] scatter backward) matches autodiff of the plain form for
+    both image and coordinate gradients (C>1 guards the channel-major update
+    ordering)."""
+    import jax
+    import jax.numpy as jnp
+
+    from maua_tpu.train.augment import _bilinear_sample_nchw, _bilinear_sample_packed
+
+    img = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 20, 24))
+    coords = (
+        jax.random.uniform(jax.random.PRNGKey(1), (2, 2, 16, 16), minval=-4.0, maxval=28.0)
+        + 0.3
+    )  # spans in-band, edge, and far-out-of-range; offset avoids integer-coord grad kinks
+    a = np.asarray(_bilinear_sample_nchw(img, coords))
+    b = np.asarray(_bilinear_sample_packed(img, coords))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+    cot = jax.random.normal(jax.random.PRNGKey(2), (2, 3, 16, 16))
+    gi_p, gc_p = jax.vjp(_bilinear_sample_packed, img, coords)[1](cot)
+    gi_n, gc_n = jax.vjp(_bilinear_sample_nchw, img, coords)[1](cot)
+    np.testing.assert_allclose(np.asarray(gi_p), np.asarray(gi_n), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gc_p), np.asarray(gc_n), atol=1e-5)
