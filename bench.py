@@ -30,9 +30,11 @@ BASELINE_FPS = 60.0
 
 
 def bench_dtype(dtype, batch: int = 16, n_iters: int = 8) -> float:
-    from maua_tpu.models import Generator
+    from maua_tpu.models import Generator, auto_s2d_min_res
 
-    gen = Generator(size=1024, constant_input=True, dtype=dtype)
+    gen = Generator(
+        size=1024, constant_input=True, dtype=dtype, s2d_min_res=auto_s2d_min_res(1024)
+    )
     init_rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}
     variables = jax.jit(lambda: gen.init(init_rngs, jnp.zeros((1, 512))))()
 
@@ -86,9 +88,10 @@ def parity_err_vs_reference(size: int = 256, batch: int = 2):
     del g_ref
 
     from maua_tpu.io import generator_variables_from_torch, infer_generator_config
-    from maua_tpu.models import Generator
+    from maua_tpu.models import Generator, auto_s2d_min_res
 
-    gen = Generator(**infer_generator_config(sd))
+    cfg = infer_generator_config(sd)
+    gen = Generator(**cfg, s2d_min_res=auto_s2d_min_res(cfg["size"], cfg["channel_multiplier"]))
     variables = generator_variables_from_torch(sd)
 
     with jax.default_matmul_precision("high"):

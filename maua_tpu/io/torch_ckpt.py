@@ -224,6 +224,12 @@ def load_generator(
                 )
             overrides.pop(k)
     config.update(overrides)
+    if config.get("s2d_min_res") == "auto":
+        from ..models import auto_s2d_min_res
+
+        config["s2d_min_res"] = auto_s2d_min_res(
+            config["size"], config["channel_multiplier"], config["channel_max"]
+        )
     gen = Generator(output_size=output_size, base_res_factor=base_res_factor, **config)
     variables = generator_variables_from_torch(sd)
 

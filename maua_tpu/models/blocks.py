@@ -28,6 +28,15 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops.fused_act import fused_leaky_relu
+from ..ops.s2d import (
+    depth_to_space,
+    fir_taps,
+    phase_conv1x1,
+    phase_conv3x3,
+    phase_conv_up_blur,
+    phase_upsample,
+    space_to_depth,
+)
 from ..ops.upfirdn2d import setup_filter, upfirdn2d
 
 Array = jnp.ndarray
@@ -207,8 +216,15 @@ class ModulatedConv2d(nn.Module):
     eps: float = 1e-8
 
     @nn.compact
-    def __call__(self, x: Array, style: Array) -> Array:
+    def __call__(
+        self, x: Array, style: Array, phase_in: bool = False, phase_out: bool = False
+    ) -> Array:
+        """phase_in/phase_out select the space-to-depth (polyphase) execution
+        path (ops/s2d.py) — numerically exact, same params, 2-4× faster on
+        TPU for channel counts below the 128-lane width."""
         b, in_channel, h, w_in = x.shape
+        if phase_in:
+            in_channel //= 4
         weight = self.param(
             "weight",
             nn.initializers.normal(stddev=1.0),
@@ -229,7 +245,6 @@ class ModulatedConv2d(nn.Module):
             )  # [B, O]
             demod = lax.rsqrt(sigma + self.eps)
 
-        x = x * s[:, :, None, None].astype(x.dtype)
         w_shared = (weight * scale).astype(x.dtype)
 
         # Only the HIGH-RES demodulated body convs follow the matmul-precision
@@ -239,8 +254,42 @@ class ModulatedConv2d(nn.Module):
         # error sites). Measured @1024²: all-HIGH = 3.2e-3 max err, body-only
         # HIGH = 1.05e-3, high-res-body-only HIGH = see PARITY.md — for the
         # same ~66 fps (vs 41 all-HIGHEST).
-        cheap = (h * w_in) <= 64 * 64
+        cheap = (h * w_in * (4 if phase_in else 1)) <= 64 * 64
         prec = _conv_precision(x) if (self.demodulate and not cheap) else _exact_precision(x)
+
+        if phase_out:
+            # polyphase paths (ops/s2d.py) — exact transforms of the branches
+            # below, sharing the same params
+            if self.downsample:
+                raise NotImplementedError("phase-space downsample is not used by the generator")
+            if self.upsample:
+                if phase_in:
+                    x = depth_to_space(x)
+                x = x * s[:, :, None, None].astype(x.dtype)
+                # transpose-conv and 4-tap blur folded into one dense 4x4
+                # conv; per-channel demod commutes with the per-channel blur
+                out = phase_conv_up_blur(
+                    x, w_shared, fir_taps(self.blur_kernel, 4.0), precision=prec
+                )
+                if self.demodulate:
+                    out = out * jnp.tile(demod, (1, 4))[:, :, None, None].astype(out.dtype)
+                return out
+            if not phase_in:
+                x = space_to_depth(x)
+            x = x * jnp.tile(s, (1, 4))[:, :, None, None].astype(x.dtype)
+            if self.kernel_size == 1:
+                out = phase_conv1x1(x, w_shared[:, :, 0, 0], precision=prec)
+            else:
+                if self.kernel_size != 3:
+                    raise NotImplementedError("phase-space conv supports kernel sizes 1 and 3")
+                out = phase_conv3x3(x, w_shared, precision=prec)
+            if self.demodulate:
+                out = out * jnp.tile(demod, (1, 4))[:, :, None, None].astype(out.dtype)
+            return out
+        if phase_in:
+            x = depth_to_space(x)
+
+        x = x * s[:, :, None, None].astype(x.dtype)
 
         if self.upsample:
             # reference: conv_transpose2d(stride=2, padding=0) with transposed
@@ -290,8 +339,20 @@ class NoiseInjection(nn.Module):
     (reference: models/stylegan2.py:257-266)."""
 
     @nn.compact
-    def __call__(self, x: Array, noise: Optional[Array] = None) -> Array:
+    def __call__(self, x: Array, noise: Optional[Array] = None, phase: bool = False) -> Array:
         w = self.param("weight", nn.initializers.zeros, (1,))
+        if phase:
+            # x is the phase rep [B,4C,h,w]; noise arrives (or is drawn) at
+            # native [.,1,2h,2w] and is phase-packed — the SAME values the
+            # native path adds, so parity holds even for randomize_noise
+            b, c4, h, width = x.shape
+            if noise is None:
+                noise = jax.random.normal(
+                    self.make_rng("noise"), (b, 1, 2 * h, 2 * width), dtype=x.dtype
+                )
+            noise_p = space_to_depth(noise.astype(x.dtype))  # [.,4,h,w]
+            out = x.reshape(b, 4, c4 // 4, h, width) + w.astype(x.dtype) * noise_p[:, :, None]
+            return out.reshape(b, c4, h, width)
         if noise is None:
             b, _, h, width = x.shape
             noise = jax.random.normal(self.make_rng("noise"), (b, 1, h, width), dtype=x.dtype)
@@ -355,7 +416,15 @@ class StyledConv(nn.Module):
     layer_id: int = -1
 
     @nn.compact
-    def __call__(self, x: Array, style: Array, noise: Optional[Array] = None, bends: Sequence[Any] = ()) -> Array:
+    def __call__(
+        self,
+        x: Array,
+        style: Array,
+        noise: Optional[Array] = None,
+        bends: Sequence[Any] = (),
+        phase_in: bool = False,
+        phase_out: bool = False,
+    ) -> Array:
         out = ModulatedConv2d(
             self.out_channel,
             self.kernel_size,
@@ -363,11 +432,18 @@ class StyledConv(nn.Module):
             upsample=self.upsample,
             blur_kernel=self.blur_kernel,
             name="conv",
-        )(x, style)
-        out = NoiseInjection(name="noise")(out, noise)
+        )(x, style, phase_in=phase_in, phase_out=phase_out)
+        out = NoiseInjection(name="noise")(out, noise, phase=phase_out)
         bias = self.param("act_bias", nn.initializers.zeros, (self.out_channel,))
-        out = fused_leaky_relu(out, bias)
-        out = apply_bends(out, self.layer_id, bends)
+        out = fused_leaky_relu(out, jnp.tile(bias, 4) if phase_out else bias)
+        if phase_out and any(
+            (b["layer"] if isinstance(b, dict) else b[0]) == self.layer_id for b in bends or ()
+        ):
+            # bends are defined on native activations: convert around them
+            # (exact; only pays when a bend actually targets this layer)
+            out = space_to_depth(apply_bends(depth_to_space(out), self.layer_id, bends))
+        elif not phase_out:
+            out = apply_bends(out, self.layer_id, bends)
         return out
 
 
@@ -379,13 +455,26 @@ class ToRGB(nn.Module):
     blur_kernel: Sequence[int] = DEFAULT_BLUR_KERNEL
 
     @nn.compact
-    def __call__(self, x: Array, style: Array, skip: Optional[Array] = None) -> Array:
-        out = ModulatedConv2d(3, 1, demodulate=False, name="conv")(x, style)
+    def __call__(
+        self,
+        x: Array,
+        style: Array,
+        skip: Optional[Array] = None,
+        phase: bool = False,
+        skip_phase: bool = False,
+    ) -> Array:
+        out = ModulatedConv2d(3, 1, demodulate=False, name="conv")(
+            x, style, phase_in=phase, phase_out=phase
+        )
         bias = self.param("bias", nn.initializers.zeros, (1, 3, 1, 1))
-        out = out + bias.astype(out.dtype)
+        out = out + (jnp.tile(bias, (1, 4, 1, 1)) if phase else bias).astype(out.dtype)
         if skip is not None:
-            skip = Upsample(self.blur_kernel, name="upsample")(skip)
-            out = out + skip
+            if phase:
+                skip_native = depth_to_space(skip) if skip_phase else skip
+                out = out + phase_upsample(skip_native.astype(out.dtype), list(self.blur_kernel), gain=4.0)
+            else:
+                skip = Upsample(self.blur_kernel, name="upsample")(skip)
+                out = out + skip
         return out
 
 

@@ -26,6 +26,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.s2d import depth_to_space as _d2s
 from .blocks import (
     DEFAULT_BLUR_KERNEL,
     ConstantInput,
@@ -60,6 +61,19 @@ def channel_map(channel_multiplier: int = 2, channel_max: int = 512) -> dict[int
         1024: 16 * channel_multiplier,
     }
     return {k: min(v, channel_max) for k, v in table.items()}
+
+
+def auto_s2d_min_res(size: int, channel_multiplier: int = 2, channel_max: int = 512) -> int:
+    """Smallest synthesis resolution whose channel count drops below the TPU's
+    128-lane width — the optimal `Generator.s2d_min_res` (512 for the
+    full-width 1024² model; 0 = disabled when every layer is already
+    lane-full, e.g. size<=256 at full width). Measured @1024² bf16 batch 16:
+    thr=512 253.8 fps vs thr=256 221.0 vs native 200.6."""
+    channels = channel_map(channel_multiplier, channel_max)
+    for res in sorted(channels):
+        if 8 <= res <= size and channels[res] < 128:
+            return res
+    return 0
 
 
 def noise_shapes(
@@ -116,6 +130,12 @@ class Generator(nn.Module):
     base_res_factor: float = 1
     channel_max: int = 512
     dtype: Any = jnp.float32  # synthesis compute dtype; bf16 = TPU fast path
+    # Resolutions >= s2d_min_res run in space-to-depth (polyphase) form
+    # (ops/s2d.py): exact same math on a half-res grid with 4x channels, which
+    # fills the TPU's 128-wide lanes when the layer's channel count is below
+    # 128. 0 disables. Recommended: the first resolution whose channel count
+    # drops below 128 (512 for the full-width 1024² model). Must be >= 8.
+    s2d_min_res: int = 0
 
     @property
     def log_size(self) -> int:
@@ -271,18 +291,33 @@ class Generator(nn.Module):
         current_size = 4
         image = self.to_rgb1(out, latent[:, 1]) if self.min_rgb_size <= current_size else None
 
+        thr = max(self.s2d_min_res, 8) if self.s2d_min_res > 0 else None
+        out_phase = False
+        image_phase = False
+
         i = 1
         for k in range(len(self.to_rgbs)):
             conv_a, conv_b, to_rgb = self.convs[2 * k], self.convs[2 * k + 1], self.to_rgbs[k]
-            out = conv_a(out, latent[:, i], noise=noise[2 * k + 1], bends=bends)
+            in_phase = out_phase
+            out_phase = thr is not None and current_size * 2 >= thr
+            out = conv_a(
+                out, latent[:, i], noise=noise[2 * k + 1], bends=bends,
+                phase_in=in_phase, phase_out=out_phase,
+            )
             current_size *= 2
-            activation_maps.append(out)
-            out = conv_b(out, latent[:, i + 1], noise=noise[2 * k + 2], bends=bends)
-            activation_maps.append(out)
+            activation_maps.append(_d2s(out) if out_phase else out)
+            out = conv_b(
+                out, latent[:, i + 1], noise=noise[2 * k + 2], bends=bends,
+                phase_in=out_phase, phase_out=out_phase,
+            )
+            activation_maps.append(_d2s(out) if out_phase else out)
             if self.min_rgb_size <= current_size:
-                image = to_rgb(out, latent[:, i + 2], image)
+                image = to_rgb(out, latent[:, i + 2], image, phase=out_phase, skip_phase=image_phase)
+                image_phase = out_phase
             i += 2
 
+        if image_phase:
+            image = _d2s(image)
         image = image.astype(jnp.float32)
         if return_activation_maps:
             return image, activation_maps

@@ -60,6 +60,12 @@ def load_generator_for_render(
         from ..models.stylegan1 import load_stylegan1
 
         return load_stylegan1(ckpt, output_size=out_size)
+    import jax
+
+    # polyphase (s2d) evaluation for the low-channel high-res layers: exact,
+    # 1.27x measured end-to-end on TPU @1024² (ops/s2d.py); no-op on CPU
+    # whose conv layouts don't lane-pad
+    s2d = 0 if jax.default_backend() == "cpu" else "auto"
     return load_generator(
         ckpt,
         output_size=out_size if out_size != G_res else None,
@@ -69,6 +75,7 @@ def load_generator_for_render(
         n_mlp=n_mlp,
         channel_multiplier=channel_multiplier,
         constant_input=not noconst,
+        s2d_min_res=s2d,
     )
 
 

@@ -67,9 +67,13 @@ import jax.numpy as jnp
 from maua_tpu.io import generator_variables_from_torch, infer_generator_config
 from maua_tpu.models import Generator
 
+from maua_tpu.models import auto_s2d_min_res
+
 config = infer_generator_config(sd)
 assert config["size"] == size, config
-gen = Generator(**config)
+# the production operating point: polyphase (s2d) evaluation of the
+# low-channel high-res layers (exact; ops/s2d.py)
+gen = Generator(**config, s2d_min_res=auto_s2d_min_res(size, config["channel_multiplier"]))
 variables = generator_variables_from_torch(sd)
 zj = jnp.asarray(z)
 

@@ -1,0 +1,124 @@
+"""Space-to-depth (polyphase) op parity: every phase-space op must equal its
+native full-resolution counterpart exactly (same MACs, reordered)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from maua_tpu.ops.s2d import (
+    depth_to_space,
+    fir_taps,
+    phase_conv1x1,
+    phase_conv3x3,
+    phase_conv_up_blur,
+    phase_upsample,
+    space_to_depth,
+)
+from maua_tpu.ops.upfirdn2d import setup_filter, upfirdn2d
+
+
+def test_s2d_roundtrip():
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 8, 12))
+    np.testing.assert_array_equal(np.asarray(depth_to_space(space_to_depth(x))), np.asarray(x))
+    # phase-major indexing: P[b, (py*2+px)*C + c, i, j] = x[b, c, 2i+py, 2j+px]
+    p = np.asarray(space_to_depth(x))
+    xn = np.asarray(x)
+    assert p[1, (1 * 2 + 0) * 3 + 2, 3, 5] == xn[1, 2, 7, 10]
+
+
+def test_phase_conv3x3_matches_native():
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 16, 12))
+    w = jax.random.normal(jax.random.PRNGKey(2), (7, 5, 3, 3))
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((1, 1), (1, 1)), dimension_numbers=("NCHW", "OIHW", "NCHW")
+    )
+    out = depth_to_space(phase_conv3x3(space_to_depth(x), w))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_phase_conv_up_blur_matches_native():
+    """phase_conv_up_blur == _conv_transpose2d_nchw(stride 2) + Blur pad
+    (1,1) — the exact up-sampling path of ModulatedConv2d, in one dense
+    composite conv."""
+    from maua_tpu.models.blocks import _conv_transpose2d_nchw
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 5, 8, 6))
+    w = jax.random.normal(jax.random.PRNGKey(4), (7, 5, 3, 3))  # [O, I, 3, 3]
+    y_full = _conv_transpose2d_nchw(x, w.transpose(1, 0, 2, 3), stride=2)
+    k2 = setup_filter([1, 3, 3, 1], gain=4.0)
+    ref = upfirdn2d(y_full, k2, pad=(1, 1))
+
+    out = depth_to_space(phase_conv_up_blur(x, w, fir_taps([1, 3, 3, 1], 4.0)))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_phase_upsample_matches_native():
+    """phase_upsample == Upsample (upfirdn up=2, pad (2,1), gain 4) — the
+    skip-pyramid path of ToRGB."""
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 3, 8, 6))
+    k2 = setup_filter([1, 3, 3, 1], gain=4.0)
+    ref = upfirdn2d(x, k2, up=2, down=1, pad=(2, 1))
+    out = depth_to_space(phase_upsample(x, [1, 3, 3, 1], gain=4.0))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_phase_conv1x1_matches_native():
+    x = jax.random.normal(jax.random.PRNGKey(6), (2, 5, 8, 6))
+    w1 = jax.random.normal(jax.random.PRNGKey(7), (3, 5))
+    ref = jnp.einsum("oi,bihw->bohw", w1, x)
+    out = depth_to_space(phase_conv1x1(space_to_depth(x), w1))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("min_rgb_size", [4, 16])
+def test_generator_s2d_matches_native(min_rgb_size):
+    """Full Generator with s2d_min_res set must produce the same images as the
+    native path — same params, exact transform (fp32 tol 1e-4). Covers the
+    up-conv, body conv, ToRGB, skip pyramid, noise buffers, and min_rgb_size
+    interplay."""
+    from maua_tpu.models import Generator
+
+    kw = dict(size=32, style_dim=64, n_mlp=2, channel_multiplier=1, channel_max=64,
+              constant_input=True, min_rgb_size=min_rgb_size)
+    gen_n = Generator(**kw)
+    gen_p = Generator(**kw, s2d_min_res=8)
+    rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}
+    variables = gen_n.init(rngs, jnp.zeros((1, 64)))
+    z = jax.random.normal(jax.random.PRNGKey(2), (2, 64))
+
+    a, _ = gen_n.apply(variables, z, randomize_noise=False)
+    b, _ = gen_p.apply(variables, z, randomize_noise=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    # randomize_noise parity: the phase path draws the SAME native-shaped
+    # noise from the same RNG stream
+    a, _ = gen_n.apply(variables, z, randomize_noise=True, rngs={"noise": jax.random.PRNGKey(7)})
+    b, _ = gen_p.apply(variables, z, randomize_noise=True, rngs={"noise": jax.random.PRNGKey(7)})
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_generator_s2d_bends_and_activations():
+    """Bends and activation maps stay native-layout under s2d (converted
+    around the hook points)."""
+    from maua_tpu.models import Generator
+
+    kw = dict(size=32, style_dim=64, n_mlp=2, channel_multiplier=1, channel_max=64,
+              constant_input=True)
+    gen_n = Generator(**kw)
+    gen_p = Generator(**kw, s2d_min_res=8)
+    rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}
+    variables = gen_n.init(rngs, jnp.zeros((1, 64)))
+    z = jax.random.normal(jax.random.PRNGKey(2), (2, 64))
+
+    bends = [(3, lambda x: jnp.flip(x, axis=-1))]
+    a, acts_a = gen_n.apply(variables, z, randomize_noise=False, bends=bends,
+                            return_activation_maps=True)
+    b, acts_b = gen_p.apply(variables, z, randomize_noise=False, bends=bends,
+                            return_activation_maps=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    assert len(acts_a) == len(acts_b)
+    for xa, xb in zip(acts_a, acts_b):
+        assert xa.shape == xb.shape
+        np.testing.assert_allclose(np.asarray(xa), np.asarray(xb), atol=1e-4)
