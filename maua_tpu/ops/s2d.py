@@ -179,8 +179,20 @@ def phase_upsample(x: Array, kernel, gain: float = 4.0) -> Array:
             for ch in range(c):
                 ker[py, px, ch, ch] = np.outer(ms[py], ms[px])
     ker = jnp.asarray(ker.reshape(4 * c, c, 3, 3), x.dtype)
+    # FIR precision policy mirrors ops/upfirdn2d._fir_precision: the skip
+    # pyramid adds straight into the image, so a default-precision (bf16)
+    # conv here costs 4.8e-2 max err in fp32-HIGHEST parity mode (measured)
+    if x.dtype == jnp.bfloat16:
+        prec = None
+    else:
+        prec = (
+            lax.Precision.HIGHEST
+            if jax.config.jax_default_matmul_precision is None
+            else None
+        )
     return lax.conv_general_dilated(
-        x, ker, (1, 1), ((1, 1), (1, 1)), dimension_numbers=("NCHW", "OIHW", "NCHW")
+        x, ker, (1, 1), ((1, 1), (1, 1)), dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=prec,
     )
 
 
