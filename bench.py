@@ -111,6 +111,33 @@ def parity_err_vs_reference(size: int = 256, batch: int = 2):
     return float(np.abs(out - img_ref).max())
 
 
+def bench_train_step(n_iters: int = 8) -> float:
+    """Full GAN train step (D + ADA + lazy regs + G + lookahead + EMA) at
+    256², batch 8, bf16 — the packed-warp ADA operating point (train/augment)."""
+    import time as _time
+
+    from maua_tpu.train import init_train_state, make_train_config, make_train_step
+
+    cfg = make_train_config(
+        size=256, batch_size=8, num_accumulate=1, bf16=True,
+        lookahead=True, augment=True, d_reg_every=16, g_reg_every=4,
+    )
+    state, gen, disc = init_train_state(jax.random.PRNGKey(0), cfg)
+    step = jax.jit(make_train_step(gen, disc, cfg))
+    reals = [
+        jax.random.normal(jax.random.PRNGKey(10 + i), (1, 8, 3, 256, 256))
+        for i in range(n_iters + 1)
+    ]
+    jax.block_until_ready(reals)
+    state, m = step(state, reals[0], jax.random.PRNGKey(1))
+    jax.block_until_ready(m)
+    t0 = _time.time()
+    for i in range(1, n_iters + 1):
+        state, m = step(state, reals[i], jax.random.PRNGKey(1 + i))
+    jax.block_until_ready(m)
+    return (_time.time() - t0) / n_iters * 1000
+
+
 def main() -> int:
     fps_bf16 = bench_dtype(jnp.bfloat16)
     print(f"bf16 1024^2 synth: {fps_bf16:.2f} frames/s", file=sys.stderr)
@@ -140,6 +167,14 @@ def main() -> int:
             result["parity_mode_max_err_vs_reference_256"] = err
     except Exception as e:
         print(f"parity check failed: {e}", file=sys.stderr)
+
+    try:
+        ms = bench_train_step()
+        print(f"train step 256^2 batch 8 bf16: {ms:.0f} ms", file=sys.stderr)
+        result["train_step_256_ms"] = round(ms, 1)
+        result["train_imgs_per_sec"] = round(8 / (ms / 1000), 2)
+    except Exception as e:
+        print(f"train-step bench failed: {e}", file=sys.stderr)
 
     print(json.dumps(result))
     return 0

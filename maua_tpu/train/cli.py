@@ -63,6 +63,8 @@ def train_loop(args) -> None:
         la_alpha=args.la_alpha,
         bcr_weight=args.balanced_consistency,
         contrastive_weight=args.contrastive,
+        bf16=args.bf16,
+        s2d_min_res=args.s2d_min_res,
     )
     state, gen, disc = init_train_state(jax.random.PRNGKey(args.seed), cfg)
     step_fn = jax.jit(make_train_step(gen, disc, cfg))
@@ -256,6 +258,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--la_steps", type=int, default=500)
     p.add_argument("--la_alpha", type=float, default=0.5)
     p.add_argument("--balanced_consistency", type=float, default=0.0)
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 conv compute in G/D (params fp32) — the TPU fast path")
+    p.add_argument("--s2d_min_res", type=int, default=-1,
+                   help="polyphase (s2d) generator evaluation from this resolution up; -1=auto, 0=off")
     p.add_argument("--contrastive", type=float, default=0.0)
     p.add_argument("--checkpoint", type=str, default=None, help=".pt (torch) or orbax dir")
     p.add_argument("--transfer_mapping_only", action="store_true")

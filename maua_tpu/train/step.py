@@ -66,6 +66,11 @@ class TrainConfig(NamedTuple):
     contrastive_weight: float = 0.0  # SimCLR regularizer on D's hidden layer (train.py:177-182)
     contrastive_loss_type: str = "infonce"  # "infonce" | "nt_xent"
     bf16: bool = False  # bf16 conv compute in G synthesis + D (params stay fp32)
+    # -1 = auto (models.auto_s2d_min_res), 0 = off: polyphase evaluation of
+    # the generator's low-channel high-res layers (ops/s2d.py) — exact, and
+    # ~2-4x per conv on TPU at 512/1024 resolutions; a no-op for size<=256
+    # full-width models whose layers are all >=128 channels
+    s2d_min_res: int = -1
 
 
 def make_train_config(**kwargs) -> TrainConfig:
@@ -107,6 +112,11 @@ def init_train_state(rng: jax.Array, cfg: TrainConfig) -> tuple[GANTrainState, G
     import jax.numpy as _jnp
 
     dtype = _jnp.bfloat16 if cfg.bf16 else _jnp.float32
+    s2d = cfg.s2d_min_res
+    if s2d < 0:
+        from ..models import auto_s2d_min_res
+
+        s2d = auto_s2d_min_res(cfg.size, cfg.channel_multiplier, cfg.channel_max)
     gen = Generator(
         size=cfg.size,
         style_dim=cfg.latent_dim,
@@ -114,6 +124,7 @@ def init_train_state(rng: jax.Array, cfg: TrainConfig) -> tuple[GANTrainState, G
         channel_max=cfg.channel_max,
         constant_input=cfg.constant_input,
         dtype=dtype,
+        s2d_min_res=s2d,
     )
     disc = Discriminator(
         size=cfg.size, channel_multiplier=cfg.channel_multiplier, channel_max=cfg.channel_max,

@@ -122,3 +122,35 @@ def test_generator_s2d_bends_and_activations():
     for xa, xb in zip(acts_a, acts_b):
         assert xa.shape == xb.shape
         np.testing.assert_allclose(np.asarray(xa), np.asarray(xb), atol=1e-4)
+
+
+def test_train_step_s2d_matches_native():
+    """One full GAN train step with the generator in polyphase (s2d) mode
+    produces the same losses/gradient effects as the native path — the phase
+    convs' autodiff is an exact reordering (fp32 CPU, tolerance for sum
+    order)."""
+    import jax
+
+    from maua_tpu.train import init_train_state, make_train_config, make_train_step
+
+    common = dict(size=16, latent_dim=32, batch_size=4, num_accumulate=1,
+                  channel_max=32, channel_multiplier=1, lookahead=False,
+                  augment=False, d_reg_every=2, g_reg_every=2)
+    cfg_n = make_train_config(**common, s2d_min_res=0)
+    cfg_p = make_train_config(**common, s2d_min_res=8)
+    state_n, gen_n, disc_n = init_train_state(jax.random.PRNGKey(0), cfg_n)
+    state_p, gen_p, disc_p = init_train_state(jax.random.PRNGKey(0), cfg_p)
+    assert gen_p.s2d_min_res == 8 and gen_n.s2d_min_res == 0
+
+    real = jax.random.normal(jax.random.PRNGKey(5), (1, 4, 3, 16, 16))
+    step_n = jax.jit(make_train_step(gen_n, disc_n, cfg_n))
+    step_p = jax.jit(make_train_step(gen_p, disc_p, cfg_p))
+    sn, mn = step_n(state_n, real, jax.random.PRNGKey(7))
+    sp, mp = step_p(state_p, real, jax.random.PRNGKey(7))
+    for k in mn:
+        np.testing.assert_allclose(float(mn[k]), float(mp[k]), rtol=2e-3, atol=2e-4), k
+    # parameters after the update agree (same data, same rng, exact transform)
+    gn = jax.tree_util.tree_leaves(sn.g_params)
+    gp = jax.tree_util.tree_leaves(sp.g_params)
+    for a, b in zip(gn, gp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
