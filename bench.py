@@ -29,7 +29,7 @@ import jax.numpy as jnp
 BASELINE_FPS = 60.0
 
 
-def bench_dtype(dtype, batch: int = 16, n_iters: int = 8) -> float:
+def bench_dtype(dtype, batch: int = 64, n_iters: int = 6) -> float:
     from maua_tpu.models import Generator, auto_s2d_min_res
 
     gen = Generator(
@@ -153,7 +153,7 @@ def main() -> int:
     # BOTH ≥60 fps and ≤1e-3 vs reference (BASELINE.md north stars)
     try:
         with jax.default_matmul_precision("high"):
-            fps_parity = bench_dtype(jnp.float32, batch=8)
+            fps_parity = bench_dtype(jnp.float32, batch=32)
         print(f"fp32 fast-parity 1024^2 synth: {fps_parity:.2f} frames/s", file=sys.stderr)
         result["parity_mode_fps"] = round(fps_parity, 2)
         result["parity_mode_vs_baseline"] = round(fps_parity / BASELINE_FPS, 3)
