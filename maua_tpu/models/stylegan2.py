@@ -291,6 +291,10 @@ class Generator(nn.Module):
         current_size = 4
         image = self.to_rgb1(out, latent[:, 1]) if self.min_rgb_size <= current_size else None
 
+        # s2d spatial-evenness note: every phase layer's dims are 2x its
+        # input's (the up-conv doubles them), so the full-res dims are always
+        # even and space-to-depth applies to any geometry, widescreen or
+        # fractional base_res_factor included (odd COARSE dims are fine)
         thr = max(self.s2d_min_res, 8) if self.s2d_min_res > 0 else None
         out_phase = False
         image_phase = False

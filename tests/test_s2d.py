@@ -154,3 +154,28 @@ def test_train_step_s2d_matches_native():
     gp = jax.tree_util.tree_leaves(sp.g_params)
     for a, b in zip(gn, gp):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
+def test_generator_s2d_widescreen_and_odd_guard():
+    """s2d matches native for widescreen geometries (output_size=1920, noise
+    [h, 2h], const-widening pad bend). Phase layers always have even full-res
+    dims (the up-conv doubles its input), so no geometry guard is needed."""
+    from maua_tpu.models import Generator
+
+    from maua_tpu.reactive import bends_for_batch, pad_bend
+
+    kw = dict(size=16, style_dim=32, n_mlp=1, channel_multiplier=1,
+              constant_input=True, channel_max=32, output_size=1920)
+    gen_n = Generator(**kw)
+    gen_p = Generator(**kw, s2d_min_res=8)
+    rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}
+    variables = gen_n.init(rngs, jnp.zeros((1, 32)))
+    z = jax.random.normal(jax.random.PRNGKey(2), (2, 32))
+    # widescreen needs the const-widening layer-0 pad bend (tauceti recipe)
+    bends = bends_for_batch([pad_bend(0, (2, 2, 0, 0))], 0, 2)
+    a, _ = gen_n.apply(variables, z, randomize_noise=False, bends=bends)
+    b, _ = gen_p.apply(variables, z, randomize_noise=False, bends=bends)
+    assert b.shape == (2, 3, 16, 32)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
