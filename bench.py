@@ -91,7 +91,10 @@ def parity_err_vs_reference(size: int = 256, batch: int = 2):
     from maua_tpu.models import Generator, auto_s2d_min_res
 
     cfg = infer_generator_config(sd)
-    gen = Generator(**cfg, s2d_min_res=auto_s2d_min_res(cfg["size"], cfg["channel_multiplier"]))
+    gen = Generator(
+        **cfg,
+        s2d_min_res=auto_s2d_min_res(cfg["size"], cfg["channel_multiplier"], cfg["channel_max"]),
+    )
     variables = generator_variables_from_torch(sd)
 
     with jax.default_matmul_precision("high"):

@@ -14,6 +14,7 @@ __all__ = [
     "Discriminator",
     "Generator",
     "MappingNetwork",
+    "auto_s2d_min_res",
     "channel_map",
     "noise_shapes",
     "StyleGAN1",

@@ -441,7 +441,14 @@ class StyledConv(nn.Module):
         ):
             # bends are defined on native activations: convert around them
             # (exact; only pays when a bend actually targets this layer)
-            out = space_to_depth(apply_bends(depth_to_space(out), self.layer_id, bends))
+            bent = apply_bends(depth_to_space(out), self.layer_id, bends)
+            if bent.shape[-1] % 2 or bent.shape[-2] % 2:
+                raise ValueError(
+                    f"bend at layer {self.layer_id} produced odd spatial dims "
+                    f"{bent.shape[-2:]}, which the space-to-depth path cannot "
+                    "re-pack; pad to even dims or disable s2d (s2d_min_res=0)"
+                )
+            out = space_to_depth(bent)
         elif not phase_out:
             out = apply_bends(out, self.layer_id, bends)
         return out

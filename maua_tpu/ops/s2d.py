@@ -210,8 +210,3 @@ def phase_conv1x1(p: Array, w1: Array, precision=None) -> Array:
     )
 
 
-def repeat_channels(v: Array, axis: int = 1) -> Array:
-    """Tile a per-channel vector onto the phase-major 4-phase channel layout."""
-    reps = [1] * v.ndim
-    reps[axis] = 4
-    return jnp.tile(v, reps)

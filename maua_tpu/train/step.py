@@ -114,9 +114,15 @@ def init_train_state(rng: jax.Array, cfg: TrainConfig) -> tuple[GANTrainState, G
     dtype = _jnp.bfloat16 if cfg.bf16 else _jnp.float32
     s2d = cfg.s2d_min_res
     if s2d < 0:
-        from ..models import auto_s2d_min_res
+        # auto: lane-filling only pays on accelerators; the CPU path would
+        # just execute the dense phase kernels' 2.25x structural-zero MACs
+        # (mirrors pipeline/generate.py's backend guard)
+        if jax.default_backend() == "cpu":
+            s2d = 0
+        else:
+            from ..models import auto_s2d_min_res
 
-        s2d = auto_s2d_min_res(cfg.size, cfg.channel_multiplier, cfg.channel_max)
+            s2d = auto_s2d_min_res(cfg.size, cfg.channel_multiplier, cfg.channel_max)
     gen = Generator(
         size=cfg.size,
         style_dim=cfg.latent_dim,

@@ -65,15 +65,16 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 from maua_tpu.io import generator_variables_from_torch, infer_generator_config
-from maua_tpu.models import Generator
-
-from maua_tpu.models import auto_s2d_min_res
+from maua_tpu.models import Generator, auto_s2d_min_res
 
 config = infer_generator_config(sd)
 assert config["size"] == size, config
 # the production operating point: polyphase (s2d) evaluation of the
 # low-channel high-res layers (exact; ops/s2d.py)
-gen = Generator(**config, s2d_min_res=auto_s2d_min_res(size, config["channel_multiplier"]))
+gen = Generator(
+    **config,
+    s2d_min_res=auto_s2d_min_res(size, config["channel_multiplier"], config["channel_max"]),
+)
 variables = generator_variables_from_torch(sd)
 zj = jnp.asarray(z)
 

@@ -148,7 +148,7 @@ def test_train_step_s2d_matches_native():
     sn, mn = step_n(state_n, real, jax.random.PRNGKey(7))
     sp, mp = step_p(state_p, real, jax.random.PRNGKey(7))
     for k in mn:
-        np.testing.assert_allclose(float(mn[k]), float(mp[k]), rtol=2e-3, atol=2e-4), k
+        np.testing.assert_allclose(float(mn[k]), float(mp[k]), rtol=2e-3, atol=2e-4, err_msg=str(k))
     # parameters after the update agree (same data, same rng, exact transform)
     gn = jax.tree_util.tree_leaves(sn.g_params)
     gp = jax.tree_util.tree_leaves(sp.g_params)
