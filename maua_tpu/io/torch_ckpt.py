@@ -224,12 +224,21 @@ def load_generator(
                 )
             overrides.pop(k)
     config.update(overrides)
-    if config.get("s2d_min_res") == "auto":
+    # default to polyphase (s2d) evaluation on accelerators (exact, 2-4x on
+    # the low-channel high-res layers — ops/s2d.py); pass s2d_min_res=0 to
+    # opt out. CPU conv layouts don't lane-pad, so s2d would only add its
+    # structural-zero MACs there.
+    if config.get("s2d_min_res", "auto") == "auto":
+        import jax
+
         from ..models import auto_s2d_min_res
 
-        config["s2d_min_res"] = auto_s2d_min_res(
-            config["size"], config["channel_multiplier"], config["channel_max"]
-        )
+        if jax.default_backend() == "cpu":
+            config["s2d_min_res"] = 0
+        else:
+            config["s2d_min_res"] = auto_s2d_min_res(
+                config["size"], config["channel_multiplier"], config["channel_max"]
+            )
     gen = Generator(output_size=output_size, base_res_factor=base_res_factor, **config)
     variables = generator_variables_from_torch(sd)
 
