@@ -206,3 +206,29 @@ def test_train_step_s2d_on_mesh():
     state, metrics = step(state, real, jax.random.PRNGKey(2))
     for k, v in metrics.items():
         assert np.isfinite(float(v)), (k, v)
+
+
+def test_render_on_mesh_with_s2d(tmp_path):
+    """Frame-axis data-parallel render with the generator in phase (s2d)
+    mode: the polyphase convs shard over the batch axis like the native ones
+    (inference counterpart of test_train_step_s2d_on_mesh)."""
+    import os
+
+    import jax
+
+    from maua_tpu.models import Generator
+    from maua_tpu.parallel import get_mesh
+    from maua_tpu.render import render
+
+    gen = Generator(size=16, style_dim=32, n_mlp=1, channel_multiplier=1,
+                    constant_input=True, channel_max=32, s2d_min_res=8)
+    variables = gen.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, jnp.zeros((1, 32))
+    )
+    w = gen.apply(variables, jax.random.normal(jax.random.PRNGKey(2), (1, 32)),
+                  method=Generator.get_latent)
+    latents = jnp.repeat(jnp.repeat(w[None], 8, 0), gen.n_latent, 1)
+    out = str(tmp_path / "mesh_s2d.mp4")
+    render(generator=gen, variables=variables, latents=latents, noise=[],
+           output_file=out, batch_size=8, fps=4, mesh=get_mesh())
+    assert os.path.exists(out) or os.path.exists(out + ".npy")
