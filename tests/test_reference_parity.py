@@ -31,7 +31,7 @@ def ref_sg2():
     sys.path.remove(REFERENCE)
 
 
-def _build_pair(ref_sg2, constant_input: bool, size=16, style_dim=64, n_mlp=2):
+def _build_pair(ref_sg2, constant_input: bool, size=16, style_dim=64, n_mlp=2, s2d_min_res=0):
     """Reference torch Generator + our Generator loaded from its state dict."""
     import torch
 
@@ -46,16 +46,16 @@ def _build_pair(ref_sg2, constant_input: bool, size=16, style_dim=64, n_mlp=2):
     assert config["size"] == size
     assert config["n_mlp"] == n_mlp
     assert config["constant_input"] == constant_input
-    gen = Generator(**config)
+    gen = Generator(**config, s2d_min_res=s2d_min_res)
     variables = generator_variables_from_torch(sd)
     return g_ref, gen, variables
 
 
-@pytest.mark.parametrize("constant_input", [True, False])
-def test_forward_parity_stored_noise(ref_sg2, constant_input):
+@pytest.mark.parametrize("constant_input, s2d_min_res", [(True, 0), (False, 0), (True, 8)])
+def test_forward_parity_stored_noise(ref_sg2, constant_input, s2d_min_res):
     import torch
 
-    g_ref, gen, variables = _build_pair(ref_sg2, constant_input)
+    g_ref, gen, variables = _build_pair(ref_sg2, constant_input, s2d_min_res=s2d_min_res)
 
     z = np.random.RandomState(1).randn(2, 64).astype(np.float32)
     # the reference hardcodes th.cuda.FloatTensor for float truncation
