@@ -53,6 +53,7 @@ def train_loop(args) -> None:
         g_reg_every=args.g_reg_every,
         mixing_prob=args.mixing,
         channel_multiplier=args.channel_multiplier,
+        channel_max=args.channel_max,
         constant_input=not args.noconst,
         augment=args.augment,
         augment_p=args.augment_p,
@@ -247,6 +248,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--g_reg_every", type=int, default=4)
     p.add_argument("--mixing", type=float, default=0.9)
     p.add_argument("--channel_multiplier", type=int, default=2)
+    p.add_argument("--channel_max", type=int, default=512,
+                   help="fmap cap (StyleGAN fmap_max); narrow models for tests/smoke runs")
     p.add_argument("--noconst", action="store_true")
     p.add_argument("--augment", action="store_true", default=True)
     p.add_argument("--no-augment", dest="augment", action="store_false")

@@ -188,3 +188,23 @@ def test_select_latents_cli(tiny_ckpt2, tmp_path):
     np.testing.assert_array_equal(intro, all_lat[[0, 2]])
     np.testing.assert_array_equal(drop, all_lat[[1, 3, 5]])
     assert os.path.exists(os.path.join(out, "intro_sheet.jpg"))
+
+
+def test_train_cli_smoke(shard_dir, tmp_path):
+    """2 iterations of the full training CLI (loader -> jitted step -> jsonl
+    metrics + sample grid + checkpoint) — guards the argparse/TrainConfig
+    wiring including the --bf16/--s2d_min_res/--channel_max flags."""
+    from maua_tpu.train.cli import main
+
+    run_dir = str(tmp_path / "run")
+    rc = main([
+        "--path", shard_dir, "--run_dir", run_dir, "--iter", "2",
+        "--size", "32", "--batch_size", "2", "--channel_max", "32",
+        "--d_reg_every", "2", "--g_reg_every", "2", "--no-augment",
+        "--s2d_min_res", "8", "--img_every", "2", "--checkpoint_every", "2",
+        "--log_every", "1", "--n_sample", "2", "--num_workers", "0",
+    ])
+    assert rc == 0
+    lines = [json.loads(l) for l in open(os.path.join(run_dir, "metrics.jsonl"))]
+    assert len(lines) >= 1
+    assert all(np.isfinite(v) for v in lines[-1].values() if isinstance(v, float))
