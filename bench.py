@@ -18,11 +18,13 @@ import time
 
 import jax
 
-# persistent compile cache: the 1024² generator takes minutes to compile
-# through the TPU tunnel; cache hits make repeat bench runs start in seconds
-os.makedirs("/root/.cache/jax_comp_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# persistent compile cache (host-keyed — stale cross-host CPU AOT artifacts
+# SIGSEGV, see maua_tpu/compile_cache.py): the 1024² generator takes minutes
+# to compile through the TPU tunnel; cache hits make repeat runs start fast
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from maua_tpu.compile_cache import setup_compile_cache
+
+setup_compile_cache()
 
 import jax.numpy as jnp
 

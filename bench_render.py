@@ -17,9 +17,8 @@ import time
 
 import jax
 
-os.makedirs("/root/.cache/jax_comp_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from maua_tpu.compile_cache import setup_compile_cache
+setup_compile_cache()
 
 import jax.numpy as jnp
 import numpy as np

@@ -19,7 +19,6 @@ import sys
 import time
 
 sys.path.insert(0, "/root/repo")
-os.makedirs("/root/.cache/jax_comp_cache", exist_ok=True)
 
 import numpy as np
 
@@ -60,8 +59,8 @@ del g_ref
 # ---- our generator on the TPU ----
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from maua_tpu.compile_cache import setup_compile_cache
+setup_compile_cache()
 import jax.numpy as jnp
 
 from maua_tpu.io import generator_variables_from_torch, infer_generator_config

@@ -9,11 +9,10 @@ import sys
 import time
 
 sys.path.insert(0, "/root/repo")
-os.makedirs("/root/.cache/jax_comp_cache", exist_ok=True)
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from maua_tpu.compile_cache import setup_compile_cache
+setup_compile_cache()
 import jax.numpy as jnp
 
 from maua_tpu.train import init_train_state, make_train_config, make_train_step

@@ -25,10 +25,11 @@ except Exception:
 
 jax.config.update("jax_enable_x64", False)
 
-# persistent compile cache: the suite is compile-bound on this 1-core box;
-# repeat runs hit the cache and skip XLA backend compiles entirely
-os.makedirs(os.path.expanduser("~/.cache/jax_comp_cache"), exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# persistent compile cache, keyed by host CPU features: a shared dir served
+# AOT executables compiled on a previous (different) node — SIGSEGV executing
+# them (see maua_tpu/compile_cache.py)
+from maua_tpu.compile_cache import setup_compile_cache  # noqa: E402
+
+setup_compile_cache()
 
 assert jax.devices()[0].platform == "cpu", jax.devices()
