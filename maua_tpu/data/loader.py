@@ -107,4 +107,16 @@ class DataLoader:
         return jax.numpy.asarray(batch)
 
     def close(self):
+        """Stop and JOIN the worker threads. Setting the event alone is not
+        enough: daemon threads still blocked in queue.put (or mid decode)
+        get killed at arbitrary native-code points during interpreter
+        finalization, which segfaults (observed as SIGSEGV at train-CLI
+        exit with empty stderr)."""
         self._stop.set()
+        try:  # unblock workers stuck in put()
+            while True:
+                self._item_q.get_nowait()
+        except queue.Empty:
+            pass
+        for w in self._workers:
+            w.join(timeout=5.0)

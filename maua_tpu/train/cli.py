@@ -67,6 +67,11 @@ def train_loop(args) -> None:
         bf16=args.bf16,
         s2d_min_res=args.s2d_min_res,
     )
+    if getattr(args, "print_config", False):
+        import json as _json
+
+        print(_json.dumps(cfg._asdict()))
+        return
     state, gen, disc = init_train_state(jax.random.PRNGKey(args.seed), cfg)
     step_fn = jax.jit(make_train_step(gen, disc, cfg))
 
@@ -261,6 +266,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--la_steps", type=int, default=500)
     p.add_argument("--la_alpha", type=float, default=0.5)
     p.add_argument("--balanced_consistency", type=float, default=0.0)
+    p.add_argument("--print_config", action="store_true",
+                   help="print the resolved TrainConfig as JSON and exit (wiring check)")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 conv compute in G/D (params fp32) — the TPU fast path")
     p.add_argument("--s2d_min_res", type=int, default=-1,

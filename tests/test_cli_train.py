@@ -1,0 +1,85 @@
+"""Training-CLI wiring and smoke coverage.
+
+Lives in its own (alphabetically early) file: the end-to-end smoke launches a
+subprocess that needs real memory, and at the tail of the full suite the
+parent pytest process has accumulated enough RSS from ~180 prior tests that
+the child segfaults inside XLA:CPU (observed twice, deterministic). Running
+early, both processes fit comfortably.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def shard_dir(tmp_path_factory):
+    import cv2
+
+    from maua_tpu.data import prepare_data
+
+    folder = tmp_path_factory.mktemp("cli_imgs")
+    rng = np.random.RandomState(0)
+    for i in range(8):
+        cv2.imwrite(str(folder / f"i{i}.png"), (rng.rand(40, 40, 3) * 255).astype(np.uint8))
+    out = str(tmp_path_factory.mktemp("cli_shards"))
+    prepare_data(str(folder), out, sizes=(32,), n_workers=1)
+    return out
+
+
+def test_train_cli_config_wiring(capsys):
+    """--print_config: every CLI flag lands on the right TrainConfig field
+    (guards the argparse wiring incl. --bf16/--s2d_min_res/--channel_max)
+    without running a step."""
+    from maua_tpu.train.cli import main
+
+    rc = main([
+        "--path", "/nonexistent", "--iter", "1", "--size", "32",
+        "--batch_size", "3", "--channel_max", "48", "--bf16",
+        "--s2d_min_res", "16", "--no-augment", "--print_config",
+    ])
+    assert rc == 0
+    cfg = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert cfg["size"] == 32 and cfg["batch_size"] == 3
+    assert cfg["channel_max"] == 48 and cfg["bf16"] is True
+    assert cfg["s2d_min_res"] == 16 and cfg["augment"] is False
+    assert cfg["r1"] == pytest.approx(1e-5 * 32**2)  # derived arg (train.py:430)
+
+
+def test_train_cli_smoke(shard_dir, tmp_path):
+    """2 iterations of the full training CLI (loader -> jitted step -> jsonl
+    metrics + sample grid + checkpoint), in a subprocess (real entry path +
+    memory isolation)."""
+    run_dir = str(tmp_path / "run")
+    driver = tmp_path / "run_cli.py"
+    driver.write_text(
+        "import sys\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from maua_tpu.train.cli import main\n"
+        "sys.exit(main(sys.argv[1:]))\n"
+    )
+    args = [
+        "--path", shard_dir, "--run_dir", run_dir, "--iter", "2",
+        "--size", "32", "--batch_size", "2", "--channel_max", "32",
+        "--d_reg_every", "2", "--g_reg_every", "2", "--no-augment",
+        "--s2d_min_res", "8", "--img_every", "2", "--checkpoint_every", "2",
+        "--log_every", "1", "--n_sample", "2", "--num_workers", "0",
+    ]
+    env = dict(os.environ, PYTHONPATH="/root/repo:" + os.environ.get("PYTHONPATH", ""))
+    # the parent suite sets XLA_FLAGS=--xla_force_host_platform_device_count=8;
+    # inheriting it makes the child build an 8-device mesh (8x the memory for
+    # a smoke run) and segfault under load — scrub it
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, str(driver)] + args, env=env, capture_output=True, text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, (proc.returncode, proc.stderr[-2000:])
+    lines = [json.loads(l) for l in open(os.path.join(run_dir, "metrics.jsonl"))]
+    assert len(lines) >= 1
+    assert all(np.isfinite(v) for v in lines[-1].values() if isinstance(v, float))

@@ -188,42 +188,3 @@ def test_select_latents_cli(tiny_ckpt2, tmp_path):
     np.testing.assert_array_equal(intro, all_lat[[0, 2]])
     np.testing.assert_array_equal(drop, all_lat[[1, 3, 5]])
     assert os.path.exists(os.path.join(out, "intro_sheet.jpg"))
-
-
-def test_train_cli_smoke(shard_dir, tmp_path):
-    """2 iterations of the full training CLI (loader -> jitted step -> jsonl
-    metrics + sample grid + checkpoint) — guards the argparse/TrainConfig
-    wiring including the --bf16/--s2d_min_res/--channel_max flags.
-
-    Runs in a SUBPROCESS: in-process it segfaulted at the tail of the full
-    suite (XLA:CPU execution under the accumulated memory/executable load of
-    ~180 prior tests; passes standalone) — isolation makes it deterministic
-    and also exercises the real CLI entry."""
-    import subprocess
-    import sys
-
-    run_dir = str(tmp_path / "run")
-    driver = tmp_path / "run_cli.py"
-    driver.write_text(
-        "import sys\n"
-        "import jax\n"
-        "jax.config.update('jax_platforms', 'cpu')\n"
-        "from maua_tpu.train.cli import main\n"
-        "sys.exit(main(sys.argv[1:]))\n"
-    )
-    args = [
-        "--path", shard_dir, "--run_dir", run_dir, "--iter", "2",
-        "--size", "32", "--batch_size", "2", "--channel_max", "32",
-        "--d_reg_every", "2", "--g_reg_every", "2", "--no-augment",
-        "--s2d_min_res", "8", "--img_every", "2", "--checkpoint_every", "2",
-        "--log_every", "1", "--n_sample", "2", "--num_workers", "0",
-    ]
-    env = dict(os.environ, PYTHONPATH="/root/repo:" + os.environ.get("PYTHONPATH", ""))
-    proc = subprocess.run(
-        [sys.executable, str(driver)] + args, env=env, capture_output=True, text=True,
-        timeout=420,
-    )
-    assert proc.returncode == 0, proc.stderr[-2000:]
-    lines = [json.loads(l) for l in open(os.path.join(run_dir, "metrics.jsonl"))]
-    assert len(lines) >= 1
-    assert all(np.isfinite(v) for v in lines[-1].values() if isinstance(v, float))
