@@ -149,6 +149,13 @@ def generate(
         del _sd
         if true_size != G_res:
             print(f"G_res={G_res} does not match checkpoint resolution {true_size}; using {true_size}")
+            # A square out_size that tracked the stale G_res default is stale
+            # too — leaving it would build the noise-scale geometry for the
+            # wrong pyramid (first noise map lands on the wrong layer).
+            # Explicit widescreen targets (1920/1080) are left alone.
+            if out_size == G_res:
+                print(f"out_size={out_size} tracked the stale G_res; using {true_size}")
+                out_size = args.out_size = true_size
             G_res = args.G_res = true_size
 
     # the reference's CLI loads initialize from the default plugin file when

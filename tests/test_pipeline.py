@@ -71,6 +71,25 @@ def test_generate_end_to_end(tiny_ckpt, tiny_wav, tmp_path):
         assert os.path.getsize(out) > 0
 
 
+def test_generate_reconciles_stale_out_size(tiny_ckpt, tiny_wav, tmp_path):
+    """With G_res/out_size left at their 1024 defaults, both must reconcile to
+    the checkpoint's true resolution — a stale out_size builds the noise
+    pyramid for the wrong geometry (first noise map lands on the wrong layer)."""
+    out = generate(
+        ckpt=tiny_ckpt,
+        audio_file=tiny_wav,
+        fps=2,
+        duration=1,
+        latent_count=4,
+        batch=2,
+        output_file=str(tmp_path / "stale.mp4"),
+    )
+    assert os.path.exists(out) or os.path.exists(out + ".npy")
+    if os.path.exists(out + ".npy"):
+        frames = np.load(out + ".npy")
+        assert frames.shape[1:] == (32, 32, 3)
+
+
 def test_render_rejects_truncation_without_latent(tiny_ckpt, tmp_path):
     """Direct render() callers must not silently get un-truncated frames:
     scalar/tensor truncation without truncation_latent is an error."""
