@@ -72,24 +72,45 @@ def cmd_inception(args) -> int:
 
 def cmd_fid(args) -> int:
     from ..io.torch_ckpt import load_generator
+    from ..models import Generator
     from .metrics import fid
 
     gen, variables = load_generator(args.ckpt)
     feats, calibrated = _feature_net(args.inception_weights, args.fid_inception)
 
+    # reference sampling protocol (validation/metrics.py:86,100-103): truncate
+    # toward mean_latent(2^14); per-batch truncation U(0.9, 1.5) unless fixed
+    mean_w = jax.jit(
+        lambda key: gen.apply(variables, key, method=Generator.mean_latent)
+    )(jax.random.PRNGKey(0))
+
     @partial(jax.jit, static_argnames=("batch",))
-    def _synth(key, batch):
+    def _synth(key, batch, trunc):
         z = jax.random.normal(key, (batch, gen.style_dim))
-        img, _ = gen.apply(variables, z, randomize_noise=False)
+        img, _ = gen.apply(
+            variables,
+            z,
+            truncation=jnp.broadcast_to(trunc, (batch,)),
+            truncation_latent=mean_w,
+            randomize_noise=False,
+        )
         return img
 
-    def synthesize(key, batch):
-        return _synth(key, batch)
+    def synthesize(key, batch, trunc):
+        return _synth(key, batch, jnp.asarray(trunc))
 
     with open(args.stats, "rb") as f:
         real_stats = pickle.load(f)
-    out = fid(synthesize, feats, real_stats, n_sample=args.n_sample, batch_size=args.batch)
+    out = fid(
+        synthesize, feats, real_stats, n_sample=args.n_sample, batch_size=args.batch,
+        truncation=args.truncation,
+    )
     out["calibrated_features"] = calibrated
+    out["feature_net"] = (
+        ("fid-inception" if args.fid_inception else "torchvision-inception")
+        + ("" if calibrated else "-random")
+    )
+    out["truncation"] = args.truncation if args.truncation is not None else "U(0.9,1.5)"
     print(json.dumps(out))
     return 0
 
@@ -119,6 +140,7 @@ def cmd_ppl(args) -> int:
         sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
         pl = make_perceptual_loss(sd, net="vgg")
         dist = lambda a, b: jax.vmap(lambda x, y: pl(x[None], y[None]))(a, b)
+        dist_name = "lpips-vgg"
     else:
         # multi-scale L2 as the perceptual proxy when no LPIPS weights exist
         def dist(a, b):
@@ -129,8 +151,12 @@ def cmd_ppl(args) -> int:
                 total = total + jnp.mean(jnp.square(aa - bb), axis=(1, 2, 3))
             return total
 
+        dist_name = "multiscale-l2-proxy"
+
     val = ppl(synthesize_from_w, map_latents, dist, n_sample=args.n_sample, batch_size=args.batch, crop=args.crop)
-    print(json.dumps({"ppl": val}))
+    # the number is only comparable to published PPLs when distance=lpips-vgg:
+    # tag the JSON so a reader of the output alone can tell
+    print(json.dumps({"ppl": val, "distance": dist_name}))
     return 0
 
 
@@ -154,6 +180,8 @@ def main(argv=None) -> int:
     pf.add_argument("--batch", type=int, default=64)
     pf.add_argument("--inception_weights", type=str, default=None)
     pf.add_argument("--fid_inception", action="store_true", help="weights are pytorch-fid pt_inception (FIDInception pools)")
+    pf.add_argument("--truncation", type=float, default=None,
+                    help="fixed truncation; default draws U(0.9,1.5) per batch (reference protocol)")
 
     pp = sub.add_parser("ppl", help="perceptual path length")
     pp.add_argument("--ckpt", required=True)

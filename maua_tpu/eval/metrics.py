@@ -80,7 +80,7 @@ def prdc(real_features: np.ndarray, fake_features: np.ndarray, nearest_k: int = 
 
 
 def fid(
-    synthesize: Callable[[jax.Array, int], Array],
+    synthesize: Callable[..., Array],
     feature_fn: Callable[[Array], Array],
     real_stats: tuple[np.ndarray, np.ndarray],
     n_sample: int = 2500,
@@ -88,20 +88,36 @@ def fid(
     rng: Optional[jax.Array] = None,
     real_features: Optional[np.ndarray] = None,
     compute_prdc: bool = False,
+    truncation: Optional[float] = None,
 ) -> dict[str, float]:
     """Sample the generator and compute FID vs cached real stats
     (reference: metrics.py:84-152).
 
-    synthesize(rng, batch) -> images [-1,1] NCHW; feature_fn(images) -> [N,D].
+    synthesize(rng, batch[, truncation]) -> images [-1,1] NCHW;
+    feature_fn(images) -> [N,D]. Following the reference's sampling protocol
+    (metrics.py:100-103), each batch synthesizes with truncation drawn
+    U(0.9, 1.5) when `truncation` is None; samplers that ignore the third
+    argument (legacy) still work.
     """
+    import inspect
+
     if rng is None:
         rng = jax.random.PRNGKey(0)
+    try:
+        takes_trunc = len(inspect.signature(synthesize).parameters) >= 3
+    except (TypeError, ValueError):
+        takes_trunc = False
+    trunc_rng = np.random.default_rng(0)
     feats = []
     jit_feat = jax.jit(lambda img: feature_fn(img))
     n_batches = -(-n_sample // batch_size)
     for i in range(n_batches):
         rng, key = jax.random.split(rng)
-        imgs = synthesize(key, batch_size)
+        if takes_trunc:
+            trunc = truncation if truncation is not None else float(trunc_rng.uniform(0.9, 1.5))
+            imgs = synthesize(key, batch_size, trunc)
+        else:
+            imgs = synthesize(key, batch_size)
         feats.append(np.asarray(jit_feat(imgs)))
     fake_features = np.concatenate(feats)[:n_sample]
 
@@ -147,8 +163,11 @@ def ppl(
     rng: Optional[jax.Array] = None,
 ) -> float:
     """Perceptual path length in W (reference: metrics.py:221-274): paired
-    lerp with offset ε, squared perceptual distance / ε², 1–99 percentile
-    filtered mean.
+    lerp with offset ε, perceptual distance / ε², with the reference's full
+    protocol: images larger than 256 are bilinearly downsampled to 256 before
+    the perceptual distance (metrics.py:257-261 — without this, PPL at
+    512/1024 is a different metric), and the 1–99 percentile filter uses
+    lower/higher interpolation (metrics.py:267-268).
 
     synthesize_from_w(w [N, D]) -> images; map_latents(rng, n) -> W [N, D];
     distance_fn(img0, img1) -> [N] perceptual distances.
@@ -167,6 +186,12 @@ def ppl(
         if crop:
             c = img.shape[2] // 8
             img = img[:, :, c * 3 : c * 7, c * 2 : c * 6]
+        # reference protocol: >256 → bilinear 256 (align_corners=False; jax
+        # image resize uses the same half-pixel-center convention)
+        if img.shape[2] // 256 > 1:
+            img = jax.image.resize(
+                img, (img.shape[0], img.shape[1], 256, 256), method="bilinear"
+            )
         img0, img1 = img[:batch_size], img[batch_size:]
         return distance_fn(img0, img1) / (eps**2)
 
@@ -177,7 +202,8 @@ def ppl(
         dists.append(np.asarray(jit_batch(key)))
     d = np.concatenate(dists)[:n_sample]
 
-    lo, hi = np.percentile(d, 1), np.percentile(d, 99)
+    lo = np.percentile(d, 1, method="lower")
+    hi = np.percentile(d, 99, method="higher")
     return float(d[(d >= lo) & (d <= hi)].mean())
 
 

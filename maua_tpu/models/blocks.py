@@ -33,6 +33,7 @@ from ..ops.s2d import (
     fir_taps,
     phase_conv1x1,
     phase_conv3x3,
+    phase_conv_down_blur,
     phase_conv_up_blur,
     phase_upsample,
     space_to_depth,
@@ -101,7 +102,12 @@ class EqualLinear(nn.Module):
 
 
 class EqualConv2d(nn.Module):
-    """Equalized-lr conv2d, scale = 1/sqrt(in*k*k) (reference: models/stylegan2.py:94-118)."""
+    """Equalized-lr conv2d, scale = 1/sqrt(in*k*k) (reference: models/stylegan2.py:94-118).
+
+    phase_in/phase_out select the space-to-depth execution path (ops/s2d.py):
+    stride-1 convs stay on the phase grid; a stride-2 conv consumes the
+    pre-folded blur (blur_taps) via phase_conv_down_blur — the caller must NOT
+    blur separately. (False, True) at stride 1 packs a native input (from_rgb)."""
 
     out_channel: int
     kernel_size: int
@@ -110,24 +116,51 @@ class EqualConv2d(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
-        in_channel = x.shape[1]
+    def __call__(
+        self,
+        x: Array,
+        phase_in: bool = False,
+        phase_out: bool = False,
+        blur_taps: Optional[tuple] = None,
+    ) -> Array:
+        in_channel = x.shape[1] // (4 if phase_in else 1)
         w = self.param(
             "weight",
             nn.initializers.normal(stddev=1.0),
             (self.out_channel, in_channel, self.kernel_size, self.kernel_size),
         )
         scale = 1.0 / math.sqrt(in_channel * self.kernel_size**2)
-        out = lax.conv_general_dilated(
-            x,
-            (w * scale).astype(x.dtype),
-            window_strides=(self.stride, self.stride),
-            padding=((self.padding, self.padding), (self.padding, self.padding)),
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
-            precision=_conv_precision(x),
-        )
+        w_shared = (w * scale).astype(x.dtype)
+        prec = _conv_precision(x)
+        if phase_in or phase_out:
+            if self.stride == 2:
+                if not phase_in:
+                    raise NotImplementedError("phase-space stride-2 conv needs a phase input")
+                out = phase_conv_down_blur(x, w_shared, blur_taps, phase_out=phase_out, precision=prec)
+            else:
+                if phase_in and not phase_out:
+                    raise NotImplementedError("stride-1 phase conv keeps the phase rep")
+                if not phase_in:
+                    x = space_to_depth(x)
+                if self.kernel_size == 1:
+                    out = phase_conv1x1(x, w_shared[:, :, 0, 0], precision=prec)
+                elif self.kernel_size == 3:
+                    out = phase_conv3x3(x, w_shared, precision=prec)
+                else:
+                    raise NotImplementedError("phase-space conv supports kernel sizes 1 and 3")
+        else:
+            out = lax.conv_general_dilated(
+                x,
+                w_shared,
+                window_strides=(self.stride, self.stride),
+                padding=((self.padding, self.padding), (self.padding, self.padding)),
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                precision=prec,
+            )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_channel,))
+            if phase_out:
+                b = jnp.tile(b, 4)
             out = out + b.reshape(1, -1, 1, 1).astype(out.dtype)
         return out
 
@@ -497,13 +530,20 @@ class ConvLayer(nn.Module):
     activate: bool = True
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, phase_in: bool = False, phase_out: bool = False) -> Array:
+        """phase_in/phase_out: space-to-depth execution (ops/s2d.py) for the
+        low-channel high-res discriminator layers; exact same math/params."""
+        blur_taps = None
         if self.downsample:
-            factor = 2
-            p = (len(self.blur_kernel) - factor) + (self.kernel_size - 1)
-            pad0 = (p + 1) // 2
-            pad1 = p // 2
-            x = Blur(self.blur_kernel, pad=(pad0, pad1), name="blur")(x)
+            if phase_in:
+                # the FIR is folded into the phase down-conv (ops/s2d.py)
+                blur_taps = fir_taps(self.blur_kernel, 1.0)
+            else:
+                factor = 2
+                p = (len(self.blur_kernel) - factor) + (self.kernel_size - 1)
+                pad0 = (p + 1) // 2
+                pad1 = p // 2
+                x = Blur(self.blur_kernel, pad=(pad0, pad1), name="blur")(x)
             stride, padding = 2, 0
         else:
             stride, padding = 1, self.kernel_size // 2
@@ -514,11 +554,11 @@ class ConvLayer(nn.Module):
             padding=padding,
             use_bias=self.use_bias and not self.activate,
             name="conv",
-        )(x)
+        )(x, phase_in=phase_in, phase_out=phase_out, blur_taps=blur_taps)
         if self.activate:
             if self.use_bias:
                 bias = self.param("act_bias", nn.initializers.zeros, (self.out_channel,))
-                out = fused_leaky_relu(out, bias)
+                out = fused_leaky_relu(out, jnp.tile(bias, 4) if phase_out else bias)
             else:
                 out = fused_leaky_relu(out, None)
         return out
@@ -533,14 +573,18 @@ class ResBlock(nn.Module):
     use_skip: bool = True
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
-        in_channel = x.shape[1]
-        out = ConvLayer(in_channel, 3, name="conv1")(x)
-        out = ConvLayer(self.out_channel, 3, downsample=True, blur_kernel=self.blur_kernel, name="conv2")(out)
+    def __call__(self, x: Array, phase_in: bool = False, phase_out: bool = False) -> Array:
+        """phase_in: x is the space-to-depth rep of this block's resolution;
+        phase_out: return the downsampled result in phase form too."""
+        in_channel = x.shape[1] // (4 if phase_in else 1)
+        out = ConvLayer(in_channel, 3, name="conv1")(x, phase_in=phase_in, phase_out=phase_in)
+        out = ConvLayer(
+            self.out_channel, 3, downsample=True, blur_kernel=self.blur_kernel, name="conv2"
+        )(out, phase_in=phase_in, phase_out=phase_out)
         if self.use_skip:
             skip = ConvLayer(
                 self.out_channel, 1, downsample=True, activate=False, use_bias=False, name="skip"
-            )(x)
+            )(x, phase_in=phase_in, phase_out=phase_out)
             out = (out + skip) / math.sqrt(2.0)
         return out
 

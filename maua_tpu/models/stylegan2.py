@@ -341,6 +341,12 @@ class Discriminator(nn.Module):
     stddev_feat: int = 1
     channel_max: int = 512
     dtype: Any = jnp.float32  # conv compute dtype (bf16 = TPU fast path)
+    # Resolutions >= s2d_min_res run space-to-depth (polyphase, ops/s2d.py):
+    # D's high-res layers have the same <128-channel lane-padding tax the
+    # generator's do (4.4x off peak measured @1024²), including inside the R1
+    # double-backward. Exact same math/params; 0 disables. The downsample
+    # convs fold their FIR into one dense phase conv (phase_conv_down_blur).
+    s2d_min_res: int = 0
 
     @nn.compact
     def __call__(self, x: Array, return_hidden: bool = False):
@@ -349,16 +355,21 @@ class Discriminator(nn.Module):
         contrastive_learner.py:115-153 picks D's layer=-2 via forward hook)."""
         channels = channel_map(self.channel_multiplier, self.channel_max)
         log_size = int(math.log2(self.size))
+        thr = max(self.s2d_min_res, 8) if self.s2d_min_res > 0 else None
 
         x = x.astype(self.dtype)
-        out = ConvLayer(channels[self.size], 1, name="from_rgb")(x)
+        phase = thr is not None and self.size >= thr
+        out = ConvLayer(channels[self.size], 1, name="from_rgb")(x, phase_out=phase)
         for i in range(log_size, 2, -1):
+            res_out = 2 ** (i - 1)
+            phase_next = thr is not None and res_out >= thr
             out = ResBlock(
-                channels[2 ** (i - 1)],
+                channels[res_out],
                 blur_kernel=self.blur_kernel,
                 use_skip=self.use_skip,
                 name=f"block_{i}",
-            )(out)
+            )(out, phase_in=phase, phase_out=phase_next)
+            phase = phase_next
         hidden = out
 
         batch = out.shape[0]

@@ -36,6 +36,13 @@ Ops (per-axis derivations; 2-D kernels are the separable product):
   pad (2,1), gain 4): dense [4C,C,3,3] conv, block (p,co),(ci) =
   δ(co,ci)·k1[2a-py]·k1[2b-px].
 * `phase_conv1x1` — 1×1 conv as a block-diagonal dense [4O,4I,1,1] conv.
+* `phase_conv_down_blur` — the discriminator's downsample ConvLayer
+  (Blur(pad0,pad1) then stride-2 VALID conv, reference models/stylegan2.py:
+  579-621) folded into ONE dense conv over the phase grid: composite fine taps
+  Kc[v] = Σ_t W[t]·k[v+pad0-t]; output position a reads fine x[2a+v], whose
+  phase is v mod 2 at coarse offset floor(v/2) — a stride-1 3-tap conv
+  [O,4I,3,3] to a native output, or (phase_out) a stride-2 4-tap conv
+  [4O,4I,4,4] to the phase rep of the downsampled result.
 Only symmetric FIR kernels are supported (StyleGAN2's [1,3,3,1] is).
 
 Every op is verified against the native implementation in tests/test_s2d.py.
@@ -116,6 +123,41 @@ def _m_skip(k1: tuple) -> np.ndarray:
     return m
 
 
+@lru_cache(maxsize=None)
+def _m_down(k1: tuple, ksize: int) -> np.ndarray:
+    """Md[qy, a, ty] = Σ_s k1[s]·[floor((ty+s-pad0)/2) == a-1 and
+    (ty+s-pad0) mod 2 == qy] — blur⊕stride-2-conv composite taps, phase input
+    → native output (offsets span [-1,1] for ksize∈{1,3}, klen=4)."""
+    k = np.asarray(k1, np.float32)
+    pad0 = ((len(k) - 2) + (ksize - 1) + 1) // 2
+    m = np.zeros((2, 3, ksize), np.float32)
+    for ty in range(ksize):
+        for s in range(len(k)):
+            v = ty + s - pad0
+            qy, dy = v % 2, v // 2  # python mod/floordiv: correct for v<0
+            if -1 <= dy <= 1:
+                m[qy, dy + 1, ty] += k[s]
+    return m
+
+
+@lru_cache(maxsize=None)
+def _m_down_p2p(k1: tuple, ksize: int) -> np.ndarray:
+    """Mp[py, qy, a, ty] = Σ_s k1[s]·[py + floor((ty+s-pad0)/2) == a-1 and
+    (ty+s-pad0) mod 2 == qy] — same composite, output kept in phase form
+    (coarse stride 2, offsets span [-1,2])."""
+    k = np.asarray(k1, np.float32)
+    pad0 = ((len(k) - 2) + (ksize - 1) + 1) // 2
+    m = np.zeros((2, 2, 4, ksize), np.float32)
+    for py in range(2):
+        for ty in range(ksize):
+            for s in range(len(k)):
+                v = ty + s - pad0
+                qy, o = v % 2, py + v // 2
+                if -1 <= o <= 2:
+                    m[py, qy, o + 1, ty] += k[s]
+    return m
+
+
 def fir_taps(kernel, gain: float) -> tuple:
     """Normalized per-axis FIR taps with the per-axis share of `gain` folded
     in (matches ops/upfirdn2d.setup_filter's separable 2-D filter)."""
@@ -193,6 +235,40 @@ def phase_upsample(x: Array, kernel, gain: float = 4.0) -> Array:
     return lax.conv_general_dilated(
         x, ker, (1, 1), ((1, 1), (1, 1)), dimension_numbers=("NCHW", "OIHW", "NCHW"),
         precision=prec,
+    )
+
+
+def phase_conv_down_blur_kernel(w: Array, k1: tuple, phase_out: bool) -> Array:
+    """[O,I,kt,kt] -> dense composite blur⊕stride-2 kernel: [O,4I,3,3]
+    (native output) or [4O,4I,4,4] (phase output)."""
+    o, i, kt = w.shape[0], w.shape[1], w.shape[2]
+    if phase_out:
+        mp = jnp.asarray(_m_down_p2p(k1, kt), w.dtype)
+        k = jnp.einsum(
+            "oidf,pqad,PQbf->pPoqQiab", w, mp, mp, precision=lax.Precision.HIGHEST
+        )
+        return k.reshape(4 * o, 4 * i, 4, 4)
+    md = jnp.asarray(_m_down(k1, kt), w.dtype)
+    k = jnp.einsum("oidf,qad,Qbf->oqQiab", w, md, md, precision=lax.Precision.HIGHEST)
+    return k.reshape(o, 4 * i, 3, 3)
+
+
+def phase_conv_down_blur(
+    p: Array, w: Array, k1: tuple, phase_out: bool = False, precision=None
+) -> Array:
+    """Blur(pad) + stride-2 VALID conv (discriminator ConvLayer downsample)
+    from the phase rep p [B,4I,h,w] of a 2h-resolution input. Returns the
+    h-resolution result natively [B,O,h,w] or (phase_out) as the phase rep
+    [B,4O,h/2,w/2]."""
+    k = phase_conv_down_blur_kernel(w, k1, phase_out).astype(p.dtype)
+    if phase_out:
+        return lax.conv_general_dilated(
+            p, k, (2, 2), ((1, 2), (1, 2)), dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            precision=precision,
+        )
+    return lax.conv_general_dilated(
+        p, k, (1, 1), ((1, 1), (1, 1)), dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=precision,
     )
 
 

@@ -79,10 +79,25 @@ def train_loop(args) -> None:
     # everywhere and unsupported on the tunneled axon backend
     from functools import partial as _partial
 
+    # reference FID sampling protocol (validation/metrics.py:86,100-103):
+    # synthesize with truncation toward the EMA mean latent; eval/metrics.fid
+    # draws the per-batch truncation U(0.9, 1.5) and passes it in
+    @jax.jit
+    def _fid_mean_latent(g_ema_params, g_buffers, key):
+        return gen.apply(
+            {"params": g_ema_params, "buffers": g_buffers}, key, method=type(gen).mean_latent
+        )
+
     @_partial(jax.jit, static_argnames=("batch",))
-    def _fid_synth(g_ema_params, g_buffers, key, batch):
+    def _fid_synth(g_ema_params, g_buffers, mean_w, key, batch, trunc):
         z = jax.random.normal(key, (batch, cfg.latent_dim))
-        img, _ = gen.apply({"params": g_ema_params, "buffers": g_buffers}, z, randomize_noise=False)
+        img, _ = gen.apply(
+            {"params": g_ema_params, "buffers": g_buffers},
+            z,
+            truncation=jnp.broadcast_to(trunc, (batch,)),
+            truncation_latent=mean_w,
+            randomize_noise=False,
+        )
         return img
 
     @jax.jit
@@ -210,8 +225,14 @@ def train_loop(args) -> None:
         ):
             from ..eval import fid as fid_fn
 
-            def synthesize(key, batch):
-                return _fid_synth(state.g_ema_params, state.g_buffers, key, batch)
+            mean_w = _fid_mean_latent(
+                state.g_ema_params, state.g_buffers, jax.random.PRNGKey(args.seed)
+            )
+
+            def synthesize(key, batch, trunc):
+                return _fid_synth(
+                    state.g_ema_params, state.g_buffers, mean_w, key, batch, jnp.asarray(trunc)
+                )
 
             scores = fid_fn(
                 synthesize, eval_feats, real_stats,

@@ -134,7 +134,7 @@ def init_train_state(rng: jax.Array, cfg: TrainConfig) -> tuple[GANTrainState, G
     )
     disc = Discriminator(
         size=cfg.size, channel_multiplier=cfg.channel_multiplier, channel_max=cfg.channel_max,
-        dtype=dtype,
+        dtype=dtype, s2d_min_res=s2d,
     )
 
     kg, kd, kn = jax.random.split(rng, 3)

@@ -87,6 +87,113 @@ def test_ppl_smooth_vs_wild_mapping():
     assert smooth < wild
 
 
+def test_fid_sampler_receives_reference_truncation_protocol():
+    """Protocol pin (reference validation/metrics.py:100-103): when truncation
+    is unspecified, every batch synthesizes with a fresh truncation drawn
+    U(0.9, 1.5); a fixed --truncation passes through verbatim."""
+    real_feats = np.random.RandomState(0).randn(200, 6).astype(np.float32)
+    stats = compute_stats(real_feats)
+    seen = []
+
+    def synthesize(key, batch, trunc):
+        seen.append(float(trunc))
+        return jax.random.normal(key, (batch, 6))
+
+    fid(synthesize, lambda x: x, stats, n_sample=150, batch_size=50)
+    assert len(seen) == 3
+    assert all(0.9 <= t <= 1.5 for t in seen)
+    assert len(set(seen)) > 1, "truncation must be re-drawn per batch"
+
+    seen.clear()
+    fid(synthesize, lambda x: x, stats, n_sample=100, batch_size=50, truncation=0.7)
+    assert seen == [0.7, 0.7]
+
+
+def test_ppl_downsamples_above_256_only():
+    """Protocol pin (reference validation/metrics.py:257-261): images >256 are
+    bilinearly resized to 256 BEFORE the perceptual distance; 256 and below
+    pass through untouched. Shapes are static under jit, so the distance_fn
+    can assert them at trace time."""
+    import jax.numpy as jnp
+
+    def run(res):
+        shapes = []
+
+        def synthesize_from_w(w):
+            return jnp.broadcast_to(
+                jnp.tanh(w[:, :1])[:, :, None, None], (w.shape[0], 3, res, res)
+            )
+
+        def dist(a, b):
+            shapes.append(a.shape)
+            return jnp.mean(jnp.square(a - b), axis=(1, 2, 3))
+
+        ppl(synthesize_from_w, lambda k, n: jax.random.normal(k, (n, 8)), dist,
+            n_sample=8, batch_size=4)
+        return shapes[0]
+
+    assert run(512)[-2:] == (256, 256)
+    assert run(1024)[-2:] == (256, 256)
+    assert run(256)[-2:] == (256, 256)
+    assert run(64)[-2:] == (64, 64)
+
+
+def test_ppl_golden_vs_reference_math():
+    """Golden comparison of the full ppl() pipeline against an independent
+    re-implementation of the reference's math (validation/metrics.py:221-274):
+    identical RNG draws, numpy lerp, torch F.interpolate(bilinear,
+    align_corners=False) as the downsample oracle, and the reference's
+    lower/higher percentile filter."""
+    import jax.numpy as jnp
+    import torch
+    import torch.nn.functional as F
+
+    D, B, N, RES, EPS = 8, 4, 16, 512, 1e-4
+
+    def synthesize_from_w(w):
+        # deterministic toy generator: [N,D] -> [N,3,RES,RES] (traceable)
+        base = jnp.linspace(-1, 1, RES, dtype=jnp.float32)
+        grid = jnp.tanh(base[:, None] * base[None, :])[None, None]
+        return jnp.tanh(w[:, :3, None, None] * grid + w[:, 3:6, None, None] * 0.3)
+
+    def synth_np(w):
+        return np.asarray(synthesize_from_w(jnp.asarray(np.asarray(w, np.float32))))
+
+    def map_latents(key, n):
+        return jax.random.normal(key, (n, D))
+
+    def dist(a, b):
+        return jnp.mean(jnp.square(a - b), axis=(1, 2, 3))
+
+    rng0 = jax.random.PRNGKey(11)
+    got = ppl(synthesize_from_w, map_latents, dist, n_sample=N, batch_size=B,
+              eps=EPS, rng=rng0)
+
+    # ---- independent reference-math pipeline, replaying the same draws ----
+    dists = []
+    rng = rng0
+    for _ in range(-(-N // B)):
+        rng, key = jax.random.split(rng)
+        k1, k2 = jax.random.split(key)
+        w = np.asarray(jax.random.normal(k1, (B * 2, D)))
+        t = np.asarray(jax.random.uniform(k2, (B, 1)))
+        w0, w1 = w[::2], w[1::2]
+        wt0 = w0 + (w1 - w0) * t
+        wt1 = w0 + (w1 - w0) * (t + EPS)
+        img = synth_np(np.concatenate([wt0, wt1]))
+        img = F.interpolate(
+            torch.from_numpy(img), size=(256, 256), mode="bilinear", align_corners=False
+        ).numpy()
+        d = ((img[:B] - img[B:]) ** 2).mean(axis=(1, 2, 3)) / EPS**2
+        dists.append(d)
+    d = np.concatenate(dists)[:N]
+    lo = np.percentile(d, 1, method="lower")
+    hi = np.percentile(d, 99, method="higher")
+    want = d[(d >= lo) & (d <= hi)].mean()
+
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
 def test_lpips_architecture_zero_for_identical():
     lp = LPIPS(net="alex")
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 64, 64))

@@ -167,12 +167,20 @@ def test_op_parity_fused_leaky_relu_cpu(ref_sg2):
 # ---------------------------------------------------------------------------
 
 
-def _torch_inception_v3():
+def _torch_inception_v3(fid_variant=False):
     """torchvision-semantics InceptionV3 pool3 trunk in pure torch.nn, with
-    state-dict keys matching torchvision (<block>.<branch>.conv/bn.*)."""
+    state-dict keys matching torchvision (<block>.<branch>.conv/bn.*).
+    fid_variant=True applies pytorch-fid's FIDInception patches (reference:
+    validation/inception.py:183-306): count_include_pad=False stride-1 avg
+    pools in A/C/E blocks, and a MAX pool branch in Mixed_7c."""
     import torch
     import torch.nn as nn
     import torch.nn.functional as F
+
+    incl_pad = not fid_variant
+
+    def pool_a(x):  # the stride-1 pad-1 avg pool the FID patch alters
+        return F.avg_pool2d(x, 3, stride=1, padding=1, count_include_pad=incl_pad)
 
     class BasicConv2d(nn.Module):
         def __init__(self, cin, cout, **kw):
@@ -200,7 +208,7 @@ def _torch_inception_v3():
                 self.branch1x1(x),
                 self.branch5x5_2(self.branch5x5_1(x)),
                 self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x))),
-                self.branch_pool(F.avg_pool2d(x, 3, stride=1, padding=1)),
+                self.branch_pool(pool_a(x)),
             ], 1)
 
     class IncB(nn.Module):
@@ -240,7 +248,7 @@ def _torch_inception_v3():
                 self.branch7x7dbl_2(self.branch7x7dbl_1(x)))))
             return torch.cat([
                 self.branch1x1(x), b7, bd,
-                self.branch_pool(F.avg_pool2d(x, 3, stride=1, padding=1)),
+                self.branch_pool(pool_a(x)),
             ], 1)
 
     class IncD(nn.Module):
@@ -262,7 +270,7 @@ def _torch_inception_v3():
             ], 1)
 
     class IncE(nn.Module):
-        def __init__(self, cin):
+        def __init__(self, cin, pool_type="avg"):
             super().__init__()
             self.branch1x1 = BasicConv2d(cin, 320, kernel_size=1)
             self.branch3x3_1 = BasicConv2d(cin, 384, kernel_size=1)
@@ -273,6 +281,7 @@ def _torch_inception_v3():
             self.branch3x3dbl_3a = BasicConv2d(384, 384, kernel_size=(1, 3), padding=(0, 1))
             self.branch3x3dbl_3b = BasicConv2d(384, 384, kernel_size=(3, 1), padding=(1, 0))
             self.branch_pool = BasicConv2d(cin, 192, kernel_size=1)
+            self.pool_type = pool_type
 
         def forward(self, x):
             import torch
@@ -280,10 +289,11 @@ def _torch_inception_v3():
             b3 = torch.cat([self.branch3x3_2a(b3), self.branch3x3_2b(b3)], 1)
             bd = self.branch3x3dbl_2(self.branch3x3dbl_1(x))
             bd = torch.cat([self.branch3x3dbl_3a(bd), self.branch3x3dbl_3b(bd)], 1)
-            return torch.cat([
-                self.branch1x1(x), b3, bd,
-                self.branch_pool(F.avg_pool2d(x, 3, stride=1, padding=1)),
-            ], 1)
+            if self.pool_type == "max":  # FIDInceptionE_2 / Mixed_7c patch
+                bp = F.max_pool2d(x, 3, stride=1, padding=1)
+            else:
+                bp = pool_a(x)
+            return torch.cat([self.branch1x1(x), b3, bd, self.branch_pool(bp)], 1)
 
     class Inception(nn.Module):
         def __init__(self):
@@ -303,7 +313,7 @@ def _torch_inception_v3():
             self.Mixed_6e = IncC(768, 192)
             self.Mixed_7a = IncD(768)
             self.Mixed_7b = IncE(1280)
-            self.Mixed_7c = IncE(2048)
+            self.Mixed_7c = IncE(2048, pool_type="max" if fid_variant else "avg")
 
         def forward(self, x):
             x = self.Conv2d_2b_3x3(self.Conv2d_2a_3x3(self.Conv2d_1a_3x3(x)))
@@ -364,6 +374,36 @@ def test_inception_feature_parity_vs_torch_mirror():
     scale = np.abs(ref).mean()
     assert scale > 1e-3, "degenerate activations — mirror init went flat"
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4 * scale)
+
+
+def test_fid_inception_feature_parity_vs_torch_mirror():
+    """fid_variant=True reproduces pytorch-fid's FIDInception semantics — the
+    count-excluded stride-1 avg pools and Mixed_7c's max-pool branch
+    (reference: validation/inception.py:183-306). Same golden harness as the
+    torchvision-variant test; the variants must also genuinely differ."""
+    import jax.numpy as jnp
+    import torch
+
+    from maua_tpu.eval.inception import InceptionV3, inception_variables_from_torch
+
+    tnet = _torch_inception_v3(fid_variant=True).eval()
+    _randomize_torch_weights(tnet)
+    sd = {k: v.detach().numpy() for k, v in tnet.state_dict().items()}
+
+    x = np.random.RandomState(1).randn(2, 3, 128, 128).astype(np.float32)
+    with torch.no_grad():
+        ref = tnet(torch.from_numpy(x)).numpy()
+
+    variables = inception_variables_from_torch(sd)
+    ours = np.asarray(InceptionV3(fid_variant=True).apply(variables, jnp.asarray(x)))
+    assert ref.shape == ours.shape == (2, 2048)
+    scale = np.abs(ref).mean()
+    assert scale > 1e-3, "degenerate activations — mirror init went flat"
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4 * scale)
+
+    # sanity: the two variants are actually different feature extractors
+    tv = np.asarray(InceptionV3(fid_variant=False).apply(variables, jnp.asarray(x)))
+    assert np.abs(tv - ours).max() > 1e-3
 
 
 def test_lpips_parity_with_vendored_lin_weights():

@@ -11,11 +11,32 @@ from maua_tpu.ops.s2d import (
     fir_taps,
     phase_conv1x1,
     phase_conv3x3,
+    phase_conv_down_blur,
     phase_conv_up_blur,
     phase_upsample,
     space_to_depth,
 )
 from maua_tpu.ops.upfirdn2d import setup_filter, upfirdn2d
+
+
+@pytest.mark.parametrize("ksize,phase_out", [(3, False), (3, True), (1, False), (1, True)])
+def test_phase_conv_down_blur_matches_native(ksize, phase_out):
+    """The discriminator's Blur + stride-2 VALID conv (ConvLayer downsample)
+    equals the folded dense phase conv, both output representations."""
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 5, 16, 12).astype(np.float32))
+    w = jnp.asarray(rng.randn(7, 5, ksize, ksize).astype(np.float32))
+    blur = (1, 3, 3, 1)
+    p = (len(blur) - 2) + (ksize - 1)
+    k2 = setup_filter(list(blur))
+    xb = upfirdn2d(x, k2, pad=((p + 1) // 2, p // 2))
+    ref = jax.lax.conv_general_dilated(
+        xb, w, (2, 2), "VALID", dimension_numbers=("NCHW", "OIHW", "NCHW")
+    )
+    got = phase_conv_down_blur(space_to_depth(x), w, fir_taps(blur, 1.0), phase_out=phase_out)
+    if phase_out:
+        got = depth_to_space(got)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
 def test_s2d_roundtrip():
@@ -179,6 +200,50 @@ def test_generator_s2d_widescreen_and_odd_guard():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+
+
+def test_discriminator_s2d_matches_native():
+    """D with s2d_min_res set equals the native D exactly (same params): the
+    from_rgb pack, phase ResBlocks, and phase→native hand-off are exact
+    reorderings. Also checks return_hidden."""
+    from maua_tpu.models import Discriminator
+
+    kw = dict(size=32, channel_multiplier=1, channel_max=32)
+    d_n = Discriminator(**kw)
+    d_p = Discriminator(**kw, s2d_min_res=8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 3, 32, 32))
+    variables = d_n.init(jax.random.PRNGKey(1), x)
+    a, ha = d_n.apply(variables, x, return_hidden=True)
+    b, hb = d_p.apply(variables, x, return_hidden=True)
+    assert hb.shape == ha.shape  # hidden is below the threshold → native rep
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(hb), np.asarray(ha), atol=2e-4)
+
+
+def test_discriminator_s2d_r1_double_backward_matches_native():
+    """The R1 penalty (grad-of-grad through every phase conv, incl. the folded
+    blur⊕down kernels) matches the native path — this is the gradient that
+    trains at 1024² (reference: train.py:71-75)."""
+    from maua_tpu.models import Discriminator
+
+    kw = dict(size=16, channel_multiplier=1, channel_max=32)
+    d_n = Discriminator(**kw)
+    d_p = Discriminator(**kw, s2d_min_res=8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 3, 16, 16))
+    variables = d_n.init(jax.random.PRNGKey(1), x)
+
+    def r1(params, disc):
+        def pred_sum(img):
+            return jnp.sum(disc.apply({"params": params}, img))
+
+        g = jax.grad(pred_sum)(x)
+        return jnp.sum(jnp.square(g))
+
+    val_n, grad_n = jax.value_and_grad(lambda p: r1(p, d_n))(variables["params"])
+    val_p, grad_p = jax.value_and_grad(lambda p: r1(p, d_p))(variables["params"])
+    np.testing.assert_allclose(float(val_p), float(val_n), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(grad_n), jax.tree_util.tree_leaves(grad_p)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-4)
 
 
 def test_train_step_s2d_on_mesh():
