@@ -203,7 +203,16 @@ def load_generator(
     When output_size induces widescreen noise geometry, the stored square
     noise buffers are re-sampled to the new shapes (the reference draws fresh
     randn buffers, models/stylegan2.py:461-470; we resize deterministically by
-    tiling the stored buffer to preserve texture for parity)."""
+    tiling the stored buffer to preserve texture for parity).
+
+    The CHECKPOINT IS AUTHORITATIVE for architecture config: any override in
+    `overrides` that names an architecture key inferred from the state dict
+    (size, style_dim, n_mlp, channel_multiplier, constant_input, channel_max)
+    is ignored with a warning when it conflicts — the variables come from the
+    state dict, so honoring the override would build a Generator whose param
+    tree cannot be applied (the reference crashes on such mismatches,
+    models/stylegan2.py:458-459). Callers who need a different architecture
+    should build Generator(...) directly and transfer weights explicitly."""
     from ..models import Generator, noise_shapes
 
     ckpt = load_torch_checkpoint(checkpoint)

@@ -114,20 +114,27 @@ def all_reduce_mean_tree(tree: Any, axis: str = DATA_AXIS) -> Any:
     return jax.tree_util.tree_map(lambda x: jax.lax.pmean(x, axis), tree)
 
 
+_distributed_initialized = False
+
+
 def maybe_initialize_distributed(coordinator_address: str | None = None, num_processes: int | None = None, process_id: int | None = None) -> bool:
     """Multi-host bring-up: jax.distributed.initialize with env auto-detection
     — the replacement for torch.distributed.launch + init_process_group
-    (reference: train.py:432-447). Safe no-op on single-host; returns whether
-    a multi-process runtime is active."""
+    (reference: train.py:432-447). Safe no-op when no coordinator is given;
+    idempotent; returns whether a multi-process runtime is active.
+
+    MUST be called before any computation touches a backend (same contract as
+    jax.distributed.initialize itself) — train.cli calls it first thing.
+    """
+    global _distributed_initialized
     import os
 
-    if jax.process_count() > 1:
-        return True
-    if coordinator_address or os.environ.get("COORDINATOR_ADDRESS"):
+    coord = coordinator_address or os.environ.get("COORDINATOR_ADDRESS")
+    if coord and not _distributed_initialized:
         jax.distributed.initialize(
-            coordinator_address=coordinator_address or os.environ["COORDINATOR_ADDRESS"],
-            num_processes=num_processes or int(os.environ.get("NUM_PROCESSES", "1")),
-            process_id=process_id or int(os.environ.get("PROCESS_ID", "0")),
+            coordinator_address=coord,
+            num_processes=num_processes if num_processes is not None else int(os.environ.get("NUM_PROCESSES", "1")),
+            process_id=process_id if process_id is not None else int(os.environ.get("PROCESS_ID", "0")),
         )
-        return jax.process_count() > 1
-    return False
+        _distributed_initialized = True
+    return jax.process_count() > 1

@@ -126,14 +126,31 @@ def render(
         sharding = batch_sharding(mesh)
 
     # ---- stage timelines on device (HBM) when they fit ----
+    # under a mesh the whole timeline is staged SHARDED: reshaped to
+    # [n_batches, batch_size, ...] with the batch axis split over the data
+    # axis (P(None, "data")), so indexing batch b eagerly yields an
+    # already-distributed batch with zero data movement — mesh rendering
+    # keeps the same no-per-batch-h2d property as the single-chip path
     total_bytes = latents.nbytes + sum(0 if n is None else n.nbytes for n in noise)
-    device_timeline = total_bytes <= max_device_timeline_bytes and sharding is None
+    mesh_ok = sharding is None or batch_size % mesh.devices.size == 0
+    device_timeline = total_bytes <= max_device_timeline_bytes and mesh_ok
+
+    def stage(x):
+        if x is None:
+            return None
+        if sharding is None:
+            return jax.device_put(x)
+        from ..parallel import train_batch_sharding
+
+        xr = np.asarray(x).reshape(n_padded // batch_size, batch_size, *x.shape[1:])
+        return jax.device_put(xr, train_batch_sharding(mesh))
+
     if device_timeline:
-        latents_dev = jax.device_put(latents)
-        noise_dev = [None if n is None else jax.device_put(n) for n in noise]
-        trunc_dev = None if trunc_t is None else jax.device_put(trunc_t)
-        bmods_dev = [None if m is None else jax.device_put(m) for m in bend_mods]
-        rmods_dev = [None if m is None else jax.device_put(m) for m in rw_mods]
+        latents_dev = stage(latents)
+        noise_dev = [stage(n) for n in noise]
+        trunc_dev = stage(trunc_t)
+        bmods_dev = [stage(m) for m in bend_mods]
+        rmods_dev = [stage(m) for m in rw_mods]
 
     params = variables["params"]
     buffers = variables.get("buffers", {})
@@ -194,7 +211,16 @@ def render(
     pending = None  # double buffer
     for start in range(0, n_padded, batch_size):
         sl = slice(start, start + batch_size)
-        if device_timeline:
+        if device_timeline and sharding is not None:
+            # eager leading-axis index of the [n_batches, batch, ...] staged
+            # form: the result is already P("data")-sharded, no movement
+            bi = start // batch_size
+            latent_b = latents_dev[bi]
+            noise_b = [None if n is None else n[bi] for n in noise_dev]
+            trunc_b = trunc_dev[bi] if trunc_dev is not None else trunc_scalar
+            bmods_b = tuple(None if m is None else m[bi] for m in bmods_dev)
+            rmods_b = tuple(None if m is None else m[bi] for m in rmods_dev)
+        elif device_timeline:
             # eager on-device slices: no host→device traffic per batch
             latent_b = latents_dev[sl]
             noise_b = [None if n is None else n[sl] for n in noise_dev]

@@ -41,6 +41,21 @@ def save_image_grid(images: np.ndarray, path: str, n_cols: int = 4) -> None:
 
 
 def train_loop(args) -> None:
+    # multi-host bring-up FIRST (before any backend init): rendezvous with the
+    # coordinator so jax.devices() spans all processes' chips (reference:
+    # train.py:432-447 torch.distributed env:// rendezvous)
+    from ..parallel import maybe_initialize_distributed, process_count
+
+    multiprocess = maybe_initialize_distributed(
+        getattr(args, "coordinator", None),
+        getattr(args, "num_processes", None),
+        getattr(args, "process_id", None),
+    )
+    if multiprocess:
+        print(
+            f"distributed: process {jax.process_index()}/{jax.process_count()}, "
+            f"{jax.local_device_count()} local / {jax.device_count()} global devices"
+        )
     mesh = get_mesh()
     cfg = make_train_config(
         size=args.size,
@@ -100,7 +115,11 @@ def train_loop(args) -> None:
         )
         return img
 
-    @jax.jit
+    # replicated output so rank 0 can np.asarray() it for the PNG even when
+    # the computation spanned a multi-process mesh
+    from ..parallel import replicated
+
+    @_partial(jax.jit, out_shardings=replicated(mesh))
     def _grid_synth(g_ema_params, g_buffers, z):
         img, _ = gen.apply({"params": g_ema_params, "buffers": g_buffers}, z, randomize_noise=False)
         return img
@@ -142,7 +161,9 @@ def train_loop(args) -> None:
     # precomputed dataset stats + (optionally) real inception weights
     eval_feats = None
     real_stats = None
-    if args.eval_every > 0 and args.inception_stats:
+    if args.eval_every > 0 and args.inception_stats and multiprocess:
+        print("FID-in-training is single-process only (host-side feature loop); skipping")
+    elif args.eval_every > 0 and args.inception_stats:
         import pickle
 
         from ..eval.cli import _feature_net
@@ -192,7 +213,10 @@ def train_loop(args) -> None:
             trace_ctx = None
             args.profile = False
 
-        if is_main_process() and (i % args.log_every == 0):
+        if i % args.log_every == 0:
+            # computed on EVERY process (jitted work over global-mesh params
+            # must be entered by all processes or the run deadlocks); IO is
+            # rank-0-gated below
             jax.block_until_ready(metrics)
             log = {k: float(v) for k, v in metrics.items()}
             if spec_state is not None:
@@ -206,18 +230,21 @@ def train_loop(args) -> None:
             log["step"] = i
             log["sec_per_iter"] = (time.time() - t_last) / max(args.log_every, 1)
             t_last = time.time()
-            print(json.dumps({k: round(v, 5) if isinstance(v, float) else v for k, v in log.items()}))
-            metrics_file.write(json.dumps(log) + "\n")
-            metrics_file.flush()
-            if wandb_run is not None:
-                wandb_run.log(log, step=i)
+            if is_main_process():
+                print(json.dumps({k: round(v, 5) if isinstance(v, float) else v for k, v in log.items()}))
+                metrics_file.write(json.dumps(log) + "\n")
+                metrics_file.flush()
+                if wandb_run is not None:
+                    wandb_run.log(log, step=i)
 
-        if is_main_process() and args.img_every > 0 and i % args.img_every == 0:
+        if args.img_every > 0 and i % args.img_every == 0:
             imgs = _grid_synth(state.g_ema_params, state.g_buffers, sample_z)
-            save_image_grid(np.asarray(imgs), os.path.join(args.run_dir, f"samples/{i:07d}.png"))
+            if is_main_process():
+                save_image_grid(np.asarray(imgs), os.path.join(args.run_dir, f"samples/{i:07d}.png"))
 
         if (
-            is_main_process()
+            process_count() == 1  # FID's host-side feature loop reads per-batch
+            # frames with np.asarray — only valid when every shard is addressable
             and real_stats is not None
             and args.eval_every > 0
             and i > 0
@@ -245,11 +272,15 @@ def train_loop(args) -> None:
             if wandb_run is not None:
                 wandb_run.log({"FID": scores["fid"]}, step=i)
 
-        if is_main_process() and args.checkpoint_every > 0 and i > 0 and i % args.checkpoint_every == 0:
+        # EVERY process must enter save_checkpoint: orbax's save runs a
+        # sync_global_processes barrier (process_allgather) — a rank-0-only
+        # call deadlocks the coordination service (observed: 30 s Gloo
+        # GetKeyValue timeout). Orbax gates the actual writes to the primary
+        # host internally.
+        if args.checkpoint_every > 0 and i > 0 and i % args.checkpoint_every == 0:
             save_checkpoint(args.run_dir, state, step=i)
 
-    if is_main_process():
-        save_checkpoint(args.run_dir, state)
+    save_checkpoint(args.run_dir, state)
     loader.close()
     metrics_file.close()
     if monitor is not None:
@@ -315,6 +346,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", action="store_true", help="capture an xprof trace of the first iters")
     p.add_argument("--profile_iters", type=int, default=5)
     p.add_argument("--monitor", action="store_true", help="background HBM/RSS monitor to tpumon.jsonl")
+    # multi-host rendezvous (reference: train.py:432-447 --local_rank + env://
+    # init_process_group); also honors COORDINATOR_ADDRESS/NUM_PROCESSES/
+    # PROCESS_ID env vars when flags are absent
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="host:port of process 0 for multi-host runs (jax.distributed)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p
 
 

@@ -71,6 +71,11 @@ class TrainConfig(NamedTuple):
     # ~2-4x per conv on TPU at 512/1024 resolutions; a no-op for size<=256
     # full-width models whose layers are all >=128 channels
     s2d_min_res: int = -1
+    # 1×-output-grid ADA warp (augment.py apply_affine oversample_grid=False):
+    # 4× fewer gather windows + backward scatter updates — the measured warp
+    # bottleneck at 1024². Source-side antialiasing retained; recommended for
+    # size >= 512 training
+    ada_fast_warp: bool = False
 
 
 def make_train_config(**kwargs) -> TrainConfig:
@@ -227,8 +232,8 @@ def make_train_step(gen: Generator, disc: Discriminator, cfg: TrainConfig):
         wplus = _mixed_wplus(gen, g_params, buffers, kw, real.shape[0], cfg)
         fake = jax.lax.stop_gradient(synth(g_params, wplus, kn, buffers))
         if cfg.augment:
-            fake_aug, _ = augment(fake, ada_p, rng=ka1)
-            real_aug, _ = augment(real, ada_p, rng=ka2)
+            fake_aug, _ = augment(fake, ada_p, rng=ka1, fast_warp=cfg.ada_fast_warp)
+            real_aug, _ = augment(real, ada_p, rng=ka2, fast_warp=cfg.ada_fast_warp)
         else:
             fake_aug, real_aug = fake, real
         fake_pred = d_apply(d_params, fake_aug)
@@ -333,7 +338,7 @@ def make_train_step(gen: Generator, disc: Discriminator, cfg: TrainConfig):
         wplus = _mixed_wplus(gen, g_params, buffers, kw, batch, cfg)
         fake = synth(g_params, wplus, kn, buffers)
         if cfg.augment:
-            fake, _ = augment(fake, ada_p, rng=ka)
+            fake, _ = augment(fake, ada_p, rng=ka, fast_warp=cfg.ada_fast_warp)
         loss = g_nonsaturating_loss(d_apply(d_params, fake))
         return loss / cfg.num_accumulate, loss
 

@@ -23,12 +23,13 @@ p.add_argument("--batch", type=int, default=8)
 p.add_argument("--accum", type=int, default=1)
 p.add_argument("--s2d", type=int, default=-1, help="s2d_min_res for G AND D; -1 auto, 0 off")
 p.add_argument("--bf16", action="store_true")
+p.add_argument("--fast_warp", action="store_true", help="1x-output-grid ADA warp (high-res mode)")
 p.add_argument("--iters", type=int, default=8)
 args = p.parse_args()
 
 cfg = make_train_config(
     size=args.size, batch_size=args.batch, num_accumulate=args.accum,
-    augment=True, lookahead=True, bf16=args.bf16,
+    augment=True, lookahead=True, bf16=args.bf16, ada_fast_warp=args.fast_warp,
     d_reg_every=16, g_reg_every=4, s2d_min_res=args.s2d,
 )
 state, gen, disc = init_train_state(jax.random.PRNGKey(0), cfg)

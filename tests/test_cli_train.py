@@ -50,6 +50,82 @@ def test_train_cli_config_wiring(capsys):
     assert cfg["r1"] == pytest.approx(1e-5 * 32**2)  # derived arg (train.py:430)
 
 
+def test_train_cli_two_process(shard_dir, tmp_path):
+    """Multi-host bring-up (VERDICT r2 item 4): two real OS processes
+    rendezvous via --coordinator (jax.distributed on localhost), each with 2
+    virtual CPU devices, and run 2 full training iterations over the 4-device
+    global mesh — loader rank-sharding (batch 4 global -> 2 local), rank-0
+    metrics IO, and the ALL-process orbax checkpoint (a rank-0-only save
+    deadlocks orbax's sync_global_processes barrier — regression-guarded
+    here). Mirrors the reference's torch.distributed env:// launch
+    (train.py:432-447).
+
+    Config notes (jaxlib 0.9 XLA:CPU + Gloo): running a SECOND collective
+    program concurrently (the sample-grid synth) races Gloo context creation
+    natively and segfaults ~50% of runs — img_every=0 keeps one collective
+    program + the checkpoint barrier (grid synthesis under a mesh is covered
+    single-process by tests/test_pipeline.py). The driver os._exit(0)s after
+    main() returns: Gloo teardown during interpreter finalization also
+    crashes. Both are jaxlib-CPU artifacts — on TPU slices collectives ride
+    ICI through an entirely different path."""
+    import socket
+
+    with socket.socket() as s:  # free localhost port for the coordinator
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    run_dir = str(tmp_path / "run2p")
+    driver = tmp_path / "run_cli_2p.py"
+    driver.write_text(
+        "import sys, os\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from maua_tpu.train.cli import main\n"
+        "rc = main(sys.argv[1:])\n"
+        "sys.stdout.flush(); sys.stderr.flush()\n"
+        "os._exit(rc)\n"
+    )
+    common = [
+        "--path", shard_dir, "--run_dir", run_dir, "--iter", "2",
+        "--size", "32", "--batch_size", "4", "--channel_max", "16",
+        "--d_reg_every", "2", "--g_reg_every", "2", "--no-augment",
+        "--no-lookahead", "--s2d_min_res", "0", "--img_every", "0",
+        "--checkpoint_every", "0", "--log_every", "1", "--n_sample", "2",
+        "--num_workers", "0", "--coordinator", f"127.0.0.1:{port}",
+        "--num_processes", "2",
+    ]
+    env = dict(os.environ, PYTHONPATH="/root/repo:" + os.environ.get("PYTHONPATH", ""))
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(driver)] + common + ["--process_id", str(r)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for r in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=600)
+            outs.append((p.returncode, out, err))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for rc, out, err in outs:
+        assert rc == 0, (rc, err[-2000:])
+    # both processes saw the 4-device global mesh
+    assert "process 0/2, 2 local / 4 global devices" in outs[0][1]
+    assert "process 1/2, 2 local / 4 global devices" in outs[1][1]
+    # rank 0 (and only rank 0) wrote finite metrics; the multihost orbax
+    # checkpoint barrier completed and produced the final checkpoint
+    lines = [json.loads(l) for l in open(os.path.join(run_dir, "metrics.jsonl"))]
+    assert len(lines) >= 2
+    assert all(np.isfinite(v) for v in lines[-1].values() if isinstance(v, float))
+    assert os.path.isdir(os.path.join(run_dir, "step_0000002"))
+    assert '"step"' not in outs[1][1]  # rank 1 stays quiet
+
+
 def test_train_cli_smoke(shard_dir, tmp_path):
     """2 iterations of the full training CLI (loader -> jitted step -> jsonl
     metrics + sample grid + checkpoint), in a subprocess (real entry path +

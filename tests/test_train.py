@@ -224,26 +224,107 @@ def test_train_step_with_contrastive_and_bcr():
 
 def test_bilinear_sample_packed_matches_plain():
     """The TPU packed single-gather warp sampler is bit-equivalent to the
-    plain 4-gather form, including out-of-range zeros — and its custom VJP
+    plain 4-gather form (compared directly, not via the platform dispatch,
+    which would be vacuous on non-CPU backends), including out-of-range zeros
+    — and its custom VJP
     (2-D [C*4,HW] scatter backward) matches autodiff of the plain form for
     both image and coordinate gradients (C>1 guards the channel-major update
     ordering)."""
     import jax
     import jax.numpy as jnp
 
-    from maua_tpu.train.augment import _bilinear_sample_nchw, _bilinear_sample_packed
+    from maua_tpu.train.augment import _bilinear_sample_packed, _bilinear_sample_plain
 
     img = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 20, 24))
     coords = (
         jax.random.uniform(jax.random.PRNGKey(1), (2, 2, 16, 16), minval=-4.0, maxval=28.0)
         + 0.3
     )  # spans in-band, edge, and far-out-of-range; offset avoids integer-coord grad kinks
-    a = np.asarray(_bilinear_sample_nchw(img, coords))
+    a = np.asarray(_bilinear_sample_plain(img, coords))
     b = np.asarray(_bilinear_sample_packed(img, coords))
     np.testing.assert_allclose(a, b, atol=1e-6)
 
     cot = jax.random.normal(jax.random.PRNGKey(2), (2, 3, 16, 16))
     gi_p, gc_p = jax.vjp(_bilinear_sample_packed, img, coords)[1](cot)
-    gi_n, gc_n = jax.vjp(_bilinear_sample_nchw, img, coords)[1](cot)
+    gi_n, gc_n = jax.vjp(_bilinear_sample_plain, img, coords)[1](cot)
     np.testing.assert_allclose(np.asarray(gi_p), np.asarray(gi_n), atol=1e-5)
     np.testing.assert_allclose(np.asarray(gc_p), np.asarray(gc_n), atol=1e-5)
+
+
+def test_apply_affine_matmul_matches_conv():
+    """The high-res TPU warp path (banded-matrix matmul resampling on
+    [B*C, H, W] + folded windowed gather with its custom VJP) is numerically
+    identical to the conv path — values, image grads, and affine-matrix grads
+    (the folded custom VJP's coordinate backward). The matmul path exists
+    because a grouped conv over a C=3 image at 1024^2 puts channels in the
+    128-lane dim (42x tile padding -> 19.6 GiB OOM, measured on-chip)."""
+    import jax
+    import jax.numpy as jnp
+
+    from maua_tpu.train.augment import (
+        _bilinear_sample_folded,
+        _bilinear_sample_folded_plain,
+        apply_affine,
+        sample_affine,
+    )
+
+    img = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 24, 20))
+    G = sample_affine(jax.random.PRNGKey(1), jnp.asarray(0.7), 2, 24, 20)
+
+    a = apply_affine(img, G, method="conv")
+    m = apply_affine(img, G, method="matmul")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(m), atol=2e-6)
+
+    ga = jax.grad(lambda x: jnp.sum(apply_affine(x, G, method="conv") ** 2))(img)
+    gm = jax.grad(lambda x: jnp.sum(apply_affine(x, G, method="matmul") ** 2))(img)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gm), atol=1e-5)
+
+    gGa = jax.grad(lambda g: jnp.sum(apply_affine(img, g, method="conv") ** 2))(G)
+    gGm = jax.grad(lambda g: jnp.sum(apply_affine(img, g, method="matmul") ** 2))(G)
+    np.testing.assert_allclose(np.asarray(gGa), np.asarray(gGm), rtol=3e-5, atol=1e-4)
+
+    # folded sampler vs its plain oracle, incl. out-of-range zeros
+    img3 = img.reshape(6, 24, 20)
+    coords = (
+        jax.random.uniform(jax.random.PRNGKey(2), (2, 2, 16, 16), minval=-4.0, maxval=28.0)
+        + 0.3
+    )
+    o1 = _bilinear_sample_folded(img3, coords, 3)
+    o2 = _bilinear_sample_folded_plain(img3, coords, 3)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
+
+
+def test_apply_affine_fast_warp_mode():
+    """oversample_grid=False (the 1x-output-grid training mode for >=512^2):
+    correct gain (identity transform reproduces the image) and close to the
+    exact dual-side-oversampled result on smooth content."""
+    import jax
+    import jax.numpy as jnp
+
+    from maua_tpu.train.augment import apply_affine
+
+    # smooth image: low-frequency content where skipping the output-side
+    # post-filter is nearly lossless
+    ys, xs = jnp.meshgrid(jnp.linspace(0, 3, 32), jnp.linspace(0, 2, 32), indexing="ij")
+    img = jnp.stack([jnp.sin(ys + c) * jnp.cos(xs - c) for c in range(3)])[None]
+    img = jnp.concatenate([img, img * 0.5], axis=0)  # [2,3,32,32]
+
+    eye = jnp.broadcast_to(jnp.eye(3), (2, 3, 3))
+    out_id = apply_affine(img, eye, method="matmul", oversample_grid=False)
+    # the SYM6 cascade is not perfect-reconstruction at the borders (same as
+    # the reference, PARITY.md §2.5) — pin the interior
+    np.testing.assert_allclose(
+        np.asarray(out_id)[:, :, 4:-4, 4:-4], np.asarray(img)[:, :, 4:-4, 4:-4], atol=0.05
+    )
+
+    from maua_tpu.train.augment import sample_affine
+
+    G = sample_affine(jax.random.PRNGKey(1), jnp.asarray(0.5), 2, 32, 32)
+    exact = apply_affine(img, G, method="matmul", oversample_grid=True)
+    fast = apply_affine(img, G, method="matmul", oversample_grid=False)
+    # same geometry, slightly different filtering: interiors agree closely
+    err = np.abs(np.asarray(exact - fast))[:, :, 4:-4, 4:-4]
+    assert err.max() < 0.05, err.max()
+
+    with pytest.raises(NotImplementedError):
+        apply_affine(img, eye, method="conv", oversample_grid=False)
