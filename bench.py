@@ -116,21 +116,26 @@ def parity_err_vs_reference(size: int = 256, batch: int = 2):
     return float(np.abs(out - img_ref).max())
 
 
-def bench_train_step(n_iters: int = 8) -> float:
-    """Full GAN train step (D + ADA + lazy regs + G + lookahead + EMA) at
-    256², batch 8, bf16 — the packed-warp ADA operating point (train/augment)."""
+def bench_train_step(
+    size: int = 256, batch: int = 8, accum: int = 1, n_iters: int = 8, fast_warp: bool = False
+) -> float:
+    """Full GAN train step (D + ADA + lazy regs + G + lookahead + EMA), bf16.
+    256² b8 is the packed-warp ADA operating point (train/augment); 1024²
+    b4×3 honors the reference's flagship config (train.py:366,375: batch 12
+    @1024² with accumulation) with the 1×-grid ADA warp + discriminator s2d."""
     import time as _time
 
     from maua_tpu.train import init_train_state, make_train_config, make_train_step
 
     cfg = make_train_config(
-        size=256, batch_size=8, num_accumulate=1, bf16=True,
+        size=size, batch_size=batch, num_accumulate=accum, bf16=True,
         lookahead=True, augment=True, d_reg_every=16, g_reg_every=4,
+        ada_fast_warp=fast_warp,
     )
     state, gen, disc = init_train_state(jax.random.PRNGKey(0), cfg)
     step = jax.jit(make_train_step(gen, disc, cfg))
     reals = [
-        jax.random.normal(jax.random.PRNGKey(10 + i), (1, 8, 3, 256, 256))
+        jax.random.normal(jax.random.PRNGKey(10 + i), (accum, batch, 3, size, size))
         for i in range(n_iters + 1)
     ]
     jax.block_until_ready(reals)
@@ -180,6 +185,16 @@ def main() -> int:
         result["train_imgs_per_sec"] = round(8 / (ms / 1000), 2)
     except Exception as e:
         print(f"train-step bench failed: {e}", file=sys.stderr)
+
+    # flagship 1024² training config (reference train.py:366,375: batch 12
+    # via accumulation) — batch 4 × 3 microbatches, 1×-grid ADA warp, G+D s2d
+    try:
+        ms = bench_train_step(size=1024, batch=4, accum=3, n_iters=4, fast_warp=True)
+        print(f"train step 1024^2 batch 4x3 bf16: {ms:.0f} ms", file=sys.stderr)
+        result["train_step_1024_ms"] = round(ms, 1)
+        result["train_1024_imgs_per_sec"] = round(12 / (ms / 1000), 2)
+    except Exception as e:
+        print(f"1024 train-step bench failed: {e}", file=sys.stderr)
 
     print(json.dumps(result))
     return 0

@@ -31,10 +31,22 @@ def main() -> int:
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--fps", type=float, default=24.0)
     p.add_argument("--dtype", choices=["bf16", "fp32"], default="bf16")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="shard the frame axis over an N-device data mesh "
+                        "(sharded device-resident timeline); 0 = single device")
     args = p.parse_args()
 
     from maua_tpu.models import Generator
     from maua_tpu.render import render
+
+    mesh = None
+    if args.mesh:
+        from maua_tpu.parallel import get_mesh
+
+        devs = jax.devices()[: args.mesh]
+        assert len(devs) == args.mesh, f"asked for {args.mesh} devices, have {len(jax.devices())}"
+        mesh = get_mesh(devs)
+        assert args.batch % args.mesh == 0, "--batch must divide over --mesh"
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     gen = Generator(size=args.size, constant_input=True, dtype=dtype)
@@ -50,11 +62,12 @@ def main() -> int:
 
     # warmup/compile with a short prefix
     render(generator=gen, variables=variables, latents=latents[: args.batch], noise=[],
-           output_file=out + ".warm.mp4", batch_size=args.batch, fps=args.fps, progress=False)
+           output_file=out + ".warm.mp4", batch_size=args.batch, fps=args.fps, progress=False,
+           mesh=mesh)
 
     t0 = time.time()
     render(generator=gen, variables=variables, latents=latents, noise=[],
-           output_file=out, batch_size=args.batch, fps=args.fps, progress=False)
+           output_file=out, batch_size=args.batch, fps=args.fps, progress=False, mesh=mesh)
     dt = time.time() - t0
 
     fps_e2e = args.frames / dt
@@ -67,6 +80,7 @@ def main() -> int:
                 "unit": "frames/s",
                 "sec_per_min_of_video": round(sec_per_min, 1),
                 "dtype": args.dtype,
+                "mesh_devices": args.mesh or 1,
             }
         )
     )

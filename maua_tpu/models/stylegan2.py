@@ -260,11 +260,20 @@ class Generator(nn.Module):
         # --- truncation: always-applied per-sample lerp (models/stylegan2.py:537-543)
         trunc = jnp.asarray(truncation, dtype=latent.dtype)
         apply_trunc = truncation_latent is not None
-        if not apply_trunc and isinstance(truncation, float) and truncation != 1.0:
+        # tensor truncation can't be value-checked at trace time — but passing
+        # an array at all signals intent to truncate, so it needs the latent
+        # too (silently skipping would return wrong frames)
+        if not apply_trunc:
+            try:  # python/numpy/0-d scalars are value-checkable at trace time
+                wants_trunc = float(truncation) != 1.0
+            except (TypeError, jax.errors.TracerArrayConversionError):
+                wants_trunc = True  # traced or per-sample vector truncation
+        if not apply_trunc and wants_trunc:
             raise ValueError(
-                "truncation != 1 requires truncation_latent (precompute with "
-                "Generator.mean_latent — the reference computes it lazily in-module, "
-                "models/stylegan2.py:539-540, which is not jit-compatible)"
+                "truncation != 1 (or tensor truncation) requires truncation_latent "
+                "(precompute with Generator.mean_latent — the reference computes it "
+                "lazily in-module, models/stylegan2.py:539-540, which is not "
+                "jit-compatible)"
             )
         if apply_trunc:
             tl = truncation_latent.reshape(1, -1)[None]  # [1,1,style_dim]

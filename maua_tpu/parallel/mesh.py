@@ -131,6 +131,18 @@ def maybe_initialize_distributed(coordinator_address: str | None = None, num_pro
 
     coord = coordinator_address or os.environ.get("COORDINATOR_ADDRESS")
     if coord and not _distributed_initialized:
+        # XLA:CPU's Gloo collectives (jaxlib 0.9) tear down a timed-out
+        # collective while its async TCP completion is still in flight and
+        # SIGSEGV. On oversubscribed hosts rank skew (compile + time-slicing)
+        # easily exceeds the ~30 s default, so raise the op timeout well past
+        # any realistic skew BEFORE the backend parses XLA_FLAGS. Root-caused
+        # on a 1-core host: the full train step crashed 3/3 at default and ran
+        # 3/3 green with the raised timeout; micro-programs never crashed
+        # (skew below threshold). Harmless on TPU (flag is CPU-only).
+        if "--xla_cpu_collective_timeout_seconds" not in os.environ.get("XLA_FLAGS", ""):
+            os.environ["XLA_FLAGS"] = (
+                os.environ.get("XLA_FLAGS", "") + " --xla_cpu_collective_timeout_seconds=1200"
+            )
         jax.distributed.initialize(
             coordinator_address=coord,
             num_processes=num_processes if num_processes is not None else int(os.environ.get("NUM_PROCESSES", "1")),

@@ -21,6 +21,7 @@ from .step import (
     GANTrainState,
     make_train_config,
     init_train_state,
+    make_train_phases,
     make_train_step,
     TrainConfig,
 )
@@ -51,6 +52,7 @@ __all__ = [
     "TrainConfig",
     "make_train_config",
     "init_train_state",
+    "make_train_phases",
     "make_train_step",
     "LucidrainsConfig",
     "LucidrainsTrainer",

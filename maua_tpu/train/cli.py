@@ -79,8 +79,14 @@ def train_loop(args) -> None:
         la_alpha=args.la_alpha,
         bcr_weight=args.balanced_consistency,
         contrastive_weight=args.contrastive,
+        contrastive_momentum=args.contrastive_momentum,
+        contrastive_queue=args.contrastive_queue,
         bf16=args.bf16,
         s2d_min_res=args.s2d_min_res,
+        # auto: the 1×-output-grid ADA warp is the measured high-res operating
+        # point (4× fewer gather/scatter windows); exact 2× oversampling at
+        # low res where the warp is cheap
+        ada_fast_warp=(args.size >= 512 if args.ada_fast_warp < 0 else bool(args.ada_fast_warp)),
     )
     if getattr(args, "print_config", False):
         import json as _json
@@ -324,7 +330,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bf16 conv compute in G/D (params fp32) — the TPU fast path")
     p.add_argument("--s2d_min_res", type=int, default=-1,
                    help="polyphase (s2d) generator evaluation from this resolution up; -1=auto, 0=off")
+    p.add_argument("--ada_fast_warp", type=int, default=-1,
+                   help="1x-output-grid ADA warp: -1=auto (on for size>=512), 0=off, 1=on")
     p.add_argument("--contrastive", type=float, default=0.0)
+    p.add_argument("--contrastive_momentum", type=float, default=0.0,
+                   help="MoCo momentum key-encoder beta (0 = keys through D itself)")
+    p.add_argument("--contrastive_queue", type=int, default=0,
+                   help="MoCo negative-key ring buffer size (multiple of 2*batch; 0 = off)")
     p.add_argument("--checkpoint", type=str, default=None, help=".pt (torch) or orbax dir")
     p.add_argument("--transfer_mapping_only", action="store_true")
     p.add_argument("--resume", action="store_true")

@@ -65,6 +65,13 @@ class TrainConfig(NamedTuple):
     bcr_weight: float = 0.0  # balanced consistency regularization (train.py:184-189)
     contrastive_weight: float = 0.0  # SimCLR regularizer on D's hidden layer (train.py:177-182)
     contrastive_loss_type: str = "infonce"  # "infonce" | "nt_xent"
+    # MoCo options (reference contrastive_learner.py:155-253): momentum beta
+    # for an EMA key encoder (0 = keys through D itself), and a ring buffer of
+    # past projected keys used as extra InfoNCE negatives (0 = no queue; must
+    # be a multiple of 2*batch_size — fakes+reals are enqueued each microbatch)
+    contrastive_momentum: float = 0.0
+    contrastive_queue: int = 0
+    contrastive_bilinear: bool = False  # bilinear key transform (ref :187-190)
     bf16: bool = False  # bf16 conv compute in G synthesis + D (params stay fp32)
     # -1 = auto (models.auto_s2d_min_res), 0 = off: polyphase evaluation of
     # the generator's low-channel high-res layers (ops/s2d.py) — exact, and
@@ -110,6 +117,8 @@ class GANTrainState:
     ada_p: Array
     ada_signs: Array
     ada_n: Array
+    # MoCo machinery (momentum key encoder + key queue), None unless enabled
+    cl_state: Optional[Any] = None
 
 
 def init_train_state(rng: jax.Array, cfg: TrainConfig) -> tuple[GANTrainState, Generator, Discriminator]:
@@ -155,12 +164,23 @@ def init_train_state(rng: jax.Array, cfg: TrainConfig) -> tuple[GANTrainState, G
     d_opt = _reg_adjusted_adam(cfg.lr, cfg.d_reg_every)
 
     cl_head = None
+    cl_state = None
     if cfg.contrastive_weight > 0:
-        from .contrastive import init_projection_head
+        from .contrastive import init_contrastive_state, init_projection_head
 
         _, hidden = disc.apply(d_vars, jnp.zeros((2, 3, cfg.size, cfg.size)), return_hidden=True)
         feat_dim = int(hidden.size // hidden.shape[0])
-        cl_head = init_projection_head(jax.random.fold_in(rng, 7), feat_dim)
+        cl_head = init_projection_head(
+            jax.random.fold_in(rng, 7), feat_dim, bilinear=cfg.contrastive_bilinear
+        )
+        if cfg.contrastive_queue > 0 and cfg.contrastive_queue % (2 * cfg.batch_size) != 0:
+            raise ValueError(
+                f"contrastive_queue ({cfg.contrastive_queue}) must be a multiple of "
+                f"2*batch_size ({2 * cfg.batch_size}) — fakes+reals enqueue together"
+            )
+        cl_state = init_contrastive_state(
+            d_params, cfg.contrastive_momentum > 0, cfg.contrastive_queue
+        )
 
     state = GANTrainState(
         step=jnp.zeros((), jnp.int32),
@@ -176,6 +196,7 @@ def init_train_state(rng: jax.Array, cfg: TrainConfig) -> tuple[GANTrainState, G
         ada_p=jnp.asarray(cfg.augment_p, jnp.float32),
         ada_signs=jnp.zeros(()),
         ada_n=jnp.zeros(()),
+        cl_state=cl_state,
     )
     return state, gen, disc
 
@@ -203,10 +224,14 @@ def _mixed_wplus(gen: Generator, g_params: Any, buffers: Any, rng: jax.Array, ba
     return wplus
 
 
-def make_train_step(gen: Generator, disc: Discriminator, cfg: TrainConfig):
-    """Build the jittable train_step(state, real_imgs, rng) -> (state, metrics).
+def make_train_phases(gen: Generator, disc: Discriminator, cfg: TrainConfig) -> dict:
+    """The train step's phases as individually jittable functions.
 
-    real_imgs: [num_accumulate, batch, 3, size, size] in [-1, 1].
+    Returns {"d": d_phase, "r1": r1_phase, "g": g_phase, "path": path_phase,
+    "tail": tail} — the exact closures `make_train_step` composes (same order,
+    same semantics), exposed so the phase profiler (tests/profile_train_tpu.py)
+    can compile and time each one on its own. Mirrors the reference's
+    per-phase NVTX ranges in train_profile.py:141-286.
     """
     g_opt = _reg_adjusted_adam(cfg.lr, cfg.g_reg_every)
     d_opt = _reg_adjusted_adam(cfg.lr, cfg.d_reg_every)
@@ -226,7 +251,7 @@ def make_train_step(gen: Generator, disc: Discriminator, cfg: TrainConfig):
         return disc.apply({"params": d_params}, img)
 
     # ---------------- D phase ----------------
-    def d_microbatch_loss(d_and_head, g_params, buffers, real, rng, ada_p):
+    def d_microbatch_loss(d_and_head, g_params, buffers, real, rng, ada_p, cl_state):
         d_params, cl_head = d_and_head
         kw, kn, ka1, ka2 = jax.random.split(rng, 4)
         wplus = _mixed_wplus(gen, g_params, buffers, kw, real.shape[0], cfg)
@@ -247,14 +272,24 @@ def make_train_step(gen: Generator, disc: Discriminator, cfg: TrainConfig):
             loss = loss + cfg.bcr_weight * c
         if cfg.contrastive_weight > 0 and cl_head is not None:
             # SimCLR regularizer on D's hidden layer: original vs augmented
-            # pairs for fakes and reals (train.py:177-182)
-            from .contrastive import contrastive_regularizer
+            # pairs for fakes and reals (train.py:177-182); MoCo options
+            # (momentum key encoder, key queue) when configured
+            # (contrastive_learner.py:155-253)
+            from .contrastive import contrastive_regularizer_moco
 
             def d_hidden(img):
                 return disc.apply({"params": d_params}, img, return_hidden=True)[1]
 
-            cl = contrastive_regularizer(
-                d_hidden, cl_head, [fake, real], [fake_aug, real_aug],
+            key_d_hidden = None
+            if cl_state is not None and cl_state.key_d_params is not None:
+                key_params = jax.lax.stop_gradient(cl_state.key_d_params)
+
+                def key_d_hidden(img):
+                    return disc.apply({"params": key_params}, img, return_hidden=True)[1]
+
+            cl, cl_state = contrastive_regularizer_moco(
+                d_hidden, key_d_hidden, cl_head, cl_state,
+                [fake, real], [fake_aug, real_aug],
                 loss_type=cfg.contrastive_loss_type,
             )
             loss = loss + cfg.contrastive_weight * cl
@@ -265,20 +300,20 @@ def make_train_step(gen: Generator, disc: Discriminator, cfg: TrainConfig):
             "sign_sum": jnp.sum(jnp.sign(real_pred)),
             "n_pred": jnp.asarray(real_pred.shape[0], jnp.float32),
         }
-        return loss / cfg.num_accumulate, aux
+        return loss / cfg.num_accumulate, (aux, cl_state)
 
     def d_phase(state: GANTrainState, real_imgs, rng):
         d_and_head = (state.d_params, state.cl_head)
 
         def scan_body(carry, inp):
-            grads_acc, aux_acc = carry
+            grads_acc, aux_acc, cl_state = carry
             real, key = inp
-            (_, aux), grads = jax.value_and_grad(d_microbatch_loss, has_aux=True)(
-                d_and_head, state.g_params, state.g_buffers, real, key, state.ada_p
+            (_, (aux, cl_state)), grads = jax.value_and_grad(d_microbatch_loss, has_aux=True)(
+                d_and_head, state.g_params, state.g_buffers, real, key, state.ada_p, cl_state
             )
             grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
             aux_acc = jax.tree_util.tree_map(jnp.add, aux_acc, aux)
-            return (grads_acc, aux_acc), None
+            return (grads_acc, aux_acc, cl_state), None
 
         keys = jax.random.split(rng, cfg.num_accumulate)
         init_aux = {
@@ -288,14 +323,23 @@ def make_train_step(gen: Generator, disc: Discriminator, cfg: TrainConfig):
             "sign_sum": jnp.zeros(()),
             "n_pred": jnp.zeros(()),
         }
-        (grads, aux), _ = jax.lax.scan(
-            scan_body, (zeros_like(d_and_head), init_aux), (real_imgs, keys)
+        (grads, aux, cl_state), _ = jax.lax.scan(
+            scan_body, (zeros_like(d_and_head), init_aux, state.cl_state), (real_imgs, keys)
         )
         # the projection head trains with D's optimizer (as the DDP-wrapped
         # learner's parameters do in the reference, train.py:572-579)
         updates, d_opt_state = d_opt.update(grads, state.d_opt_state, d_and_head)
         d_params, cl_head = optax.apply_updates(d_and_head, updates)
-        return state.replace(d_params=d_params, cl_head=cl_head, d_opt_state=d_opt_state), aux
+        if cfg.contrastive_momentum > 0:
+            from .contrastive import momentum_update
+
+            cl_state = momentum_update(cl_state, d_params, cfg.contrastive_momentum)
+        return (
+            state.replace(
+                d_params=d_params, cl_head=cl_head, d_opt_state=d_opt_state, cl_state=cl_state
+            ),
+            aux,
+        )
 
     # ---------------- R1 phase (lazy, cond) ----------------
     def r1_loss_fn(d_params, real, rng, ada_p):
@@ -404,7 +448,50 @@ def make_train_step(gen: Generator, disc: Discriminator, cfg: TrainConfig):
             pen_sum,
         )
 
-    # ---------------- full step ----------------
+    # ---------------- ADA p-adaptation (between R1 and G, train.py:207-224) --
+    def ada_phase(state: GANTrainState, d_aux):
+        """ADA p-adaptation from the D phase's real-pred sign stats; the sign
+        sums are global already (batch dim sharded -> XLA all-reduces them —
+        the psum the reference does by hand, distributed.py:42-52)."""
+        if cfg.augment and cfg.augment_p == 0:
+            signs = state.ada_signs + d_aux["sign_sum"]
+            n = state.ada_n + d_aux["n_pred"]
+            new_p, signs, n, r_t = ada_adjust_p(
+                state.ada_p, signs, n, cfg.ada_target, cfg.ada_length
+            )
+            state = state.replace(ada_p=new_p, ada_signs=signs, ada_n=n)
+        else:
+            r_t = jnp.zeros(())
+        return state, r_t
+
+    # ---------------- tail: lookahead-minimax + EMA ----------------
+    def tail(state: GANTrainState):
+        """After the fwd/bwd phases: lookahead-minimax joint slow-weight sync
+        (lookahead_minimax.py:135-186), EMA (train.py:45-49,251), step bump."""
+        if cfg.lookahead and state.lookahead is not None:
+            la, g_params, d_params = lookahead_minimax_step(
+                state.lookahead, state.g_params, state.d_params, cfg.la_steps, cfg.la_alpha
+            )
+            state = state.replace(lookahead=la, g_params=g_params, d_params=d_params)
+
+        g_ema = ema_update(state.g_ema_params, state.g_params, cfg.ema_decay)
+        return state.replace(g_ema_params=g_ema, step=state.step + 1)
+
+    return {
+        "d": d_phase, "r1": r1_phase, "ada": ada_phase,
+        "g": g_phase, "path": path_phase, "tail": tail,
+    }
+
+
+def make_train_step(gen: Generator, disc: Discriminator, cfg: TrainConfig):
+    """Build the jittable train_step(state, real_imgs, rng) -> (state, metrics).
+
+    real_imgs: [num_accumulate, batch, 3, size, size] in [-1, 1].
+    """
+    phases = make_train_phases(gen, disc, cfg)
+    d_phase, r1_phase, ada_phase = phases["d"], phases["r1"], phases["ada"]
+    g_phase, path_phase, tail = phases["g"], phases["path"], phases["tail"]
+
     def train_step(state: GANTrainState, real_imgs: Array, rng: jax.Array):
         """real_imgs: [num_accumulate, batch, 3, size, size]."""
         k_d, k_r1, k_g, k_path = jax.random.split(rng, 4)
@@ -422,17 +509,7 @@ def make_train_step(gen: Generator, disc: Discriminator, cfg: TrainConfig):
         else:
             r1_val = jnp.zeros(())
 
-        # ADA adaptation (reference: train.py:207-224); the sign stats are
-        # global means already (batch dim sharded -> XLA all-reduces the sums)
-        if cfg.augment and cfg.augment_p == 0:
-            signs = state.ada_signs + d_aux["sign_sum"]
-            n = state.ada_n + d_aux["n_pred"]
-            new_p, signs, n, r_t = ada_adjust_p(
-                state.ada_p, signs, n, cfg.ada_target, cfg.ada_length
-            )
-            state = state.replace(ada_p=new_p, ada_signs=signs, ada_n=n)
-        else:
-            r_t = jnp.zeros(())
+        state, r_t = ada_phase(state, d_aux)
 
         state, g_loss = g_phase(state, k_g)
 
@@ -446,16 +523,7 @@ def make_train_step(gen: Generator, disc: Discriminator, cfg: TrainConfig):
         else:
             path_pen = jnp.zeros(())
 
-        # lookahead-minimax joint slow-weight sync (lookahead_minimax.py:135-186)
-        if cfg.lookahead and state.lookahead is not None:
-            la, g_params, d_params = lookahead_minimax_step(
-                state.lookahead, state.g_params, state.d_params, cfg.la_steps, cfg.la_alpha
-            )
-            state = state.replace(lookahead=la, g_params=g_params, d_params=d_params)
-
-        # EMA (reference: train.py:45-49,251)
-        g_ema = ema_update(state.g_ema_params, state.g_params, cfg.ema_decay)
-        state = state.replace(g_ema_params=g_ema, step=state.step + 1)
+        state = tail(state)
 
         n_acc = cfg.num_accumulate
         metrics = {

@@ -66,8 +66,13 @@ def test_train_cli_two_process(shard_dir, tmp_path):
     program + the checkpoint barrier (grid synthesis under a mesh is covered
     single-process by tests/test_pipeline.py). The driver os._exit(0)s after
     main() returns: Gloo teardown during interpreter finalization also
-    crashes. Both are jaxlib-CPU artifacts — on TPU slices collectives ride
-    ICI through an entirely different path."""
+    crashes. And Gloo tears down a TIMED-OUT collective while its TCP
+    completion is in flight — rank skew past the ~30 s default (two processes
+    time-slicing one core through a 2-minute compile) made the step SIGSEGV
+    deterministically; fixed by --xla_cpu_collective_timeout_seconds=1200
+    (set below and by maybe_initialize_distributed). All jaxlib-CPU
+    artifacts — on TPU slices collectives ride ICI through an entirely
+    different path."""
     import socket
 
     with socket.socket() as s:  # free localhost port for the coordinator
@@ -95,23 +100,48 @@ def test_train_cli_two_process(shard_dir, tmp_path):
         "--num_processes", "2",
     ]
     env = dict(os.environ, PYTHONPATH="/root/repo:" + os.environ.get("PYTHONPATH", ""))
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(driver)] + common + ["--process_id", str(r)],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-        )
-        for r in range(2)
-    ]
-    outs = []
-    try:
-        for p in procs:
-            out, err = p.communicate(timeout=600)
-            outs.append((p.returncode, out, err))
-    finally:
-        for p in procs:
-            if p.poll() is None:
-                p.kill()
+    # the raised collective timeout guards against jaxlib 0.9's Gloo
+    # timeout-teardown SIGSEGV under heavy rank skew (1-core host, two
+    # processes compiling a 2-minute program concurrently); it is also set by
+    # maybe_initialize_distributed, but the env must carry it in case a
+    # backend initializes before main() gets there
+    env["XLA_FLAGS"] = (
+        "--xla_force_host_platform_device_count=2"
+        " --xla_cpu_collective_timeout_seconds=1200"
+    )
+    def launch():
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(driver)] + common + ["--process_id", str(r)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            )
+            for r in range(2)
+        ]
+        outs = []
+        try:
+            for p in procs:
+                out, err = p.communicate(timeout=600)
+                outs.append((p.returncode, out, err))
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+        return outs
+
+    # retry ONLY on the documented jaxlib Gloo SIGSEGV (a signal exit on
+    # either rank, see docstring) — the raised timeout makes it rare but not
+    # extinct; a real regression in our code fails the same way every attempt
+    # and still fails this test, and the functional assertions below must
+    # pass on the green attempt
+    for attempt in range(3):
+        outs = launch()
+        if not any(rc < 0 for rc, _, _ in outs):
+            break
+        import shutil
+
+        shutil.rmtree(run_dir, ignore_errors=True)
+        print(f"attempt {attempt}: rank crashed by signal "
+              f"{[rc for rc, _, _ in outs]}; retrying (jaxlib Gloo artifact)")
     for rc, out, err in outs:
         assert rc == 0, (rc, err[-2000:])
     # both processes saw the 4-device global mesh

@@ -185,6 +185,21 @@ def test_generator_tensor_truncation(tiny_gen):
     np.testing.assert_allclose(np.asarray(imgt[1]), np.asarray(full[1]), atol=1e-4)
 
 
+def test_truncation_without_latent_raises(tiny_gen):
+    """Array/tensor truncation signals intent to truncate — without a
+    truncation_latent it must raise, not silently skip (the float!=1 case was
+    already guarded; the array case used to fall through and return
+    untruncated frames)."""
+    gen, variables = tiny_gen
+    z = jax.random.normal(jax.random.PRNGKey(5), (2, 64))
+    for bad in (0.7, jnp.full((2,), 0.7), np.float32(0.5)):
+        with pytest.raises(ValueError, match="truncation"):
+            gen.apply(variables, z, truncation=bad, randomize_noise=False)
+    # scalar 1.0 in any form is the identity — allowed without a latent
+    for ok in (1.0, np.float32(1.0), jnp.asarray(1.0)):
+        gen.apply(variables, z, truncation=ok, randomize_noise=False)
+
+
 def test_generator_activation_maps_and_bends(tiny_gen):
     gen, variables = tiny_gen
     z = jax.random.normal(jax.random.PRNGKey(6), (1, 64))

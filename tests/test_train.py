@@ -222,6 +222,90 @@ def test_train_step_with_contrastive_and_bcr():
     assert not np.allclose(h0, np.asarray(state.cl_head["w1"]))
 
 
+def test_contrastive_queue_mechanics():
+    """MoCo queue unit semantics (reference contrastive_learner.py:230-253):
+    unfilled slots are masked (loss with an empty queue == plain InfoNCE),
+    enqueue wraps as a ring buffer, and queued keys change the loss."""
+    import jax
+    import jax.numpy as jnp
+
+    from maua_tpu.train.contrastive import (
+        ContrastiveState,
+        contrastive_loss,
+        contrastive_loss_with_queue,
+        enqueue_keys,
+        init_contrastive_state,
+    )
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(k1, (4, 8))
+    kk = jax.random.normal(k2, (4, 8))
+
+    st = init_contrastive_state(None, use_momentum=False, queue_size=8, out_dim=8)
+    assert st is not None and st.key_d_params is None and st.queue.shape == (8, 8)
+
+    # empty queue: masked slots contribute nothing
+    empty = contrastive_loss_with_queue(q, kk, st.queue, st.queue_filled)
+    plain = contrastive_loss(q, kk)
+    assert np.allclose(float(empty), float(plain), atol=1e-6)
+
+    # enqueue two batches -> full; pointer wraps to 0
+    st = enqueue_keys(st, kk)
+    assert int(st.queue_ptr) == 4 and int(st.queue_filled) == 4
+    st = enqueue_keys(st, jax.random.normal(k3, (4, 8)))
+    assert int(st.queue_ptr) == 0 and int(st.queue_filled) == 8
+    # a third enqueue overwrites the oldest slots (ring semantics)
+    st2 = enqueue_keys(st, q)
+    assert np.allclose(np.asarray(st2.queue[:4]), np.asarray(q))
+
+    # extra negatives raise the loss when they resemble the positives
+    with_negs = contrastive_loss_with_queue(q, kk, st.queue, st.queue_filled)
+    assert float(with_negs) > float(plain)
+
+
+@pytest.mark.slow
+def test_train_step_with_moco_contrastive():
+    """Momentum key encoder + key queue through two full jitted steps
+    (reference contrastive_learner.py:155-253): metrics stay finite, the
+    queue fills by 2*batch keys per step, and the key encoder EMA-tracks D
+    (moved from init, but not equal to D)."""
+    cfg = make_train_config(
+        size=16,
+        channel_max=32,
+        batch_size=4,
+        num_accumulate=1,
+        contrastive_weight=0.5,
+        contrastive_momentum=0.9,
+        contrastive_queue=16,  # multiple of 2*batch
+        contrastive_bilinear=True,
+        lookahead=False,
+        d_reg_every=1000,
+        g_reg_every=1000,
+        path_regularize=0.0,
+        r1=0.0,
+    )
+    state, gen, disc = init_train_state(jax.random.PRNGKey(0), cfg)
+    assert state.cl_state is not None and state.cl_state.queue.shape == (16, 128)
+    key0 = jax.tree_util.tree_leaves(state.cl_state.key_d_params)[0]
+    step = jax.jit(make_train_step(gen, disc, cfg))
+
+    real = jax.random.normal(jax.random.PRNGKey(1), (1, cfg.batch_size, 3, 16, 16))
+    state, metrics = step(state, real, jax.random.PRNGKey(2))
+    state, metrics = step(state, real, jax.random.PRNGKey(3))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, v)
+    assert int(state.cl_state.queue_filled) == 16  # 2 steps x 2*batch keys
+    assert int(state.cl_state.queue_ptr) == 0
+    # key encoder moved (EMA toward D) but is not D
+    key1 = jax.tree_util.tree_leaves(state.cl_state.key_d_params)[0]
+    d1 = jax.tree_util.tree_leaves(state.d_params)[0]
+    assert not np.allclose(np.asarray(key0), np.asarray(key1))
+    assert not np.allclose(np.asarray(key1), np.asarray(d1))
+    # the bilinear key transform trains with D's optimizer away from identity
+    bw = np.asarray(state.cl_head["bw"])
+    assert bw.shape == (128, 128) and not np.allclose(bw, np.eye(128))
+
+
 def test_bilinear_sample_packed_matches_plain():
     """The TPU packed single-gather warp sampler is bit-equivalent to the
     plain 4-gather form (compared directly, not via the platform dispatch,
