@@ -63,82 +63,109 @@ state2, d_aux = d_jit(state, reals, jax.random.PRNGKey(1))
 jax.block_until_ready(d_aux)
 
 
-def bench(name, fn, *inputs_per_iter):
-    """Time a jitted phase. inputs_per_iter: a list per positional arg, one
-    entry per iteration — the tunnel dedupes repeat dispatches of identical
-    inputs, so every iteration must differ in at least one arg."""
+def bench(name, fn, carry0, make_args, pick, scalar_of, n=None):
+    """Time a jitted phase through the tunnel, robustly:
+
+    * CHAINED carry — each call's first argument derives from the previous
+      call's output (`pick`), so calls are truly sequential on the device
+      (the tunneled runtime pipelines independent dispatches: unchained
+      timings read 5x peak MFU).
+    * A host fetch of `scalar_of(final_out)` is the completion barrier —
+      measured: block_until_ready returns EARLY on this tunnel (19 ms for a
+      chain whose value took 7.4 s to arrive).
+    * TWO chain lengths, per-iter = slope (T(n2)-T(n1))/(n2-n1) — cancels the
+      fixed dispatch/fetch latency (~seconds through the tunnel).
+    """
+    n2 = (n or args.iters) + 3
     jit_fn = jax.jit(fn)
-    first = [col[0] for col in inputs_per_iter]
+    first = (carry0, *make_args(0))
     try:
-        lowered = jit_fn.lower(*first)
-        cost = lowered.compile().cost_analysis()
+        cost = jit_fn.lower(*first).compile().cost_analysis()
         flops = float((cost or {}).get("flops", 0.0))
     except Exception:
         flops = 0.0
     out = jit_fn(*first)  # compile + warmup
-    jax.block_until_ready(out)
-    n = len(inputs_per_iter[0])
-    t0 = time.time()
-    outs = [jit_fn(*[col[i] for col in inputs_per_iter]) for i in range(n)]
-    jax.block_until_ready(outs)
-    ms = (time.time() - t0) / n * 1000
+    float(scalar_of(out))
+
+    def run(k):
+        carry = carry0
+        t0 = time.time()
+        out = None
+        for i in range(k):
+            out = jit_fn(carry, *make_args(i))
+            carry = pick(out)
+        float(scalar_of(out))  # final depends on the whole chain
+        return time.time() - t0
+
+    t1 = run(3)
+    t2 = run(n2)
+    ms = (t2 - t1) / (n2 - 3) * 1000
     return {"name": name, "ms": ms, "gflops": flops / 1e9,
             "tflops_s": flops / (ms / 1000) / 1e12 if ms > 0 else 0.0,
             "mfu": flops / (ms / 1000) / peak if ms > 0 else 0.0}
 
 
-n = args.iters
-keys = [jax.random.PRNGKey(100 + i) for i in range(n)]
-states = [state] * n
-reals_col = [reals] * n
+key_of = lambda i: jax.random.PRNGKey(100 + i)
+pick_state = lambda out: out[0]
 rows = []
-rows.append(bench("D fwd/bwd (incl. ADA warp x2, G fwd)", phases["d"], states, reals_col, keys))
-rows.append(bench("R1 double-backward", phases["r1"], states, reals_col, keys))
-rows.append(bench("G fwd/bwd (incl. ADA warp)", phases["g"], states, keys))
-rows.append(bench("path-length double-backward", phases["path"], states, keys))
-rows.append(bench("ADA p-update", phases["ada"], states, [d_aux] * n))
-rows.append(bench("lookahead + EMA tail", phases["tail"], states))
+rows.append(bench("D fwd/bwd (incl. ADA warp x2, G fwd)", phases["d"], state,
+                  lambda i: (reals, key_of(i)), pick_state,
+                  lambda out: out[1]["d_loss"]))
+rows.append(bench("R1 double-backward", phases["r1"], state,
+                  lambda i: (reals, key_of(i)), pick_state, lambda out: out[1]))
+rows.append(bench("G fwd/bwd (incl. ADA warp)", phases["g"], state,
+                  lambda i: (key_of(i),), pick_state, lambda out: out[1]))
+rows.append(bench("path-length double-backward", phases["path"], state,
+                  lambda i: (key_of(i),), pick_state, lambda out: out[1]))
+rows.append(bench("ADA p-update", phases["ada"], state,
+                  lambda i: (d_aux,), pick_state, lambda out: out[0].ada_p))
+rows.append(bench("lookahead + EMA tail", lambda s: (phases["tail"](s),), state,
+                  lambda i: (), pick_state, lambda out: out[0].step))
 
-# attribution: the ADA augment pipeline alone (fwd), on the same batch shape
+# attribution: the ADA augment pipeline alone (fwd), image chained through
 from maua_tpu.train.augment import augment as _augment
 
-def aug_only(img, key, ada_p):
-    out, _ = _augment(img, ada_p, rng=key, fast_warp=cfg.ada_fast_warp)
-    return out
+def aug_only(img, key):
+    out, _ = _augment(img, jnp.asarray(0.5), rng=key, fast_warp=cfg.ada_fast_warp)
+    return (out, jnp.mean(out.astype(jnp.float32)))
 
-imgs = [reals[0]] * n
-rows.append(bench("  [attribution] ADA augment fwd only", aug_only, imgs, keys,
-                  [jnp.asarray(0.5)] * n))
+rows.append(bench("  [attribution] ADA augment fwd only", aug_only, reals[0],
+                  lambda i: (key_of(i),), lambda out: out[0], lambda out: out[1]))
 
-def synth_only(st, key):
+def synth_only(z, key):
     from maua_tpu.train.step import _mixed_wplus
     kw, kn = jax.random.split(key)
-    wplus = _mixed_wplus(gen, st.g_params, st.g_buffers, kw, args.batch, cfg)
+    wplus = _mixed_wplus(gen, state.g_params, state.g_buffers, kw, args.batch, cfg)
+    # fold the carried z in so each call depends on the previous one's output
+    wplus = wplus + 1e-12 * z[:, None, : wplus.shape[-1]]
     img, _ = gen.apply(
-        {"params": st.g_params, "buffers": st.g_buffers}, wplus,
+        {"params": state.g_params, "buffers": state.g_buffers}, wplus,
         input_is_latent=True, randomize_noise=True, rngs={"noise": kn},
     )
-    return img
+    z_next = img.reshape(args.batch, -1)[:, : cfg.latent_dim].astype(jnp.float32)
+    return (z_next, jnp.mean(img.astype(jnp.float32)))
 
-rows.append(bench("  [attribution] G synth fwd only", synth_only, states, keys))
+rows.append(bench("  [attribution] G synth fwd only", synth_only,
+                  jnp.zeros((args.batch, cfg.latent_dim)),
+                  lambda i: (key_of(i),), lambda out: out[0], lambda out: out[1]))
 
 if not args.no_fused:
-    step = jax.jit(make_train_step(gen, disc, cfg))
-    # step=0 -> both lazy branches taken (worst case); also measure steady state
-    st1, m = step(state, reals, jax.random.PRNGKey(1))
-    jax.block_until_ready(m)
-    t0 = time.time()
-    outs = [step(state, reals, k) for k in keys]
-    jax.block_until_ready(outs)
-    fused_reg_ms = (time.time() - t0) / n * 1000
-    # steady state: step where neither reg fires (step=1: 1%16!=0 and 1%4!=0)
-    st_nr = state.replace(step=jnp.asarray(1, jnp.int32))
-    m2 = step(st_nr, reals, jax.random.PRNGKey(2))
-    jax.block_until_ready(m2)
-    t0 = time.time()
-    outs = [step(st_nr, reals, k) for k in keys]
-    jax.block_until_ready(outs)
-    fused_noreg_ms = (time.time() - t0) / n * 1000
+    raw_step = make_train_step(gen, disc, cfg)
+
+    def make_pinned(pin):  # pin the step counter INSIDE jit (no host round-trip)
+        def f(st, real, key):
+            st2, m = raw_step(st.replace(step=jnp.full((), pin, jnp.int32)), real, key)
+            return st2, m
+        return f
+
+    # step pinned to 0 -> both lazy branches fire every iter (worst case);
+    # step pinned to 1 -> neither fires (steady state)
+    fused_reg_ms = bench("fused both-regs", make_pinned(0), state,
+                         lambda i: (reals, key_of(i)), pick_state,
+                         lambda out: out[1]["Discriminator"])["ms"]
+    fused_noreg_ms = bench("fused no-reg", make_pinned(1), state,
+                           lambda i: (reals, key_of(i)), pick_state,
+                           lambda out: out[1]["Discriminator"])["ms"]
 else:
     fused_reg_ms = fused_noreg_ms = float("nan")
 
