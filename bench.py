@@ -31,7 +31,18 @@ import jax.numpy as jnp
 BASELINE_FPS = 60.0
 
 
-def bench_dtype(dtype, batch: int = 64, n_iters: int = 6) -> float:
+def bench_dtype(dtype, batch: int = 64, n1: int = 2, n2: int = 6) -> float:
+    """Pipelined synthesis throughput with an HONEST completion barrier.
+
+    The tunneled runtime (a) dedupes repeat dispatches of identical inputs and
+    (b) returns early from block_until_ready (measured: 19 ms for a chain whose
+    value took 7.4 s to arrive) — so every iteration gets a distinct latent and
+    the barrier is a host fetch of a scalar computed from the LAST dispatch
+    (the single chip executes dispatches in order, so the last one completing
+    implies all completed). Two run lengths; per-iter = slope, cancelling the
+    fixed dispatch+fetch tunnel latency. Dispatches stay independent — the
+    pipelined shape is the realistic streaming-render dispatch pattern.
+    """
     from maua_tpu.models import Generator, auto_s2d_min_res
 
     gen = Generator(
@@ -43,19 +54,26 @@ def bench_dtype(dtype, batch: int = 64, n_iters: int = 6) -> float:
     @jax.jit
     def synth(z):
         img, _ = gen.apply(variables, z, randomize_noise=False)
-        return img
+        return img, jnp.mean(img.astype(jnp.float32))
 
-    # distinct latents per step — the tunneled runtime dedupes repeat
-    # dispatches of identical inputs, which inflates naive loops 1000x
-    zs = [jax.random.normal(jax.random.PRNGKey(2 + i), (batch, 512)) for i in range(n_iters)]
+    zs = [
+        jax.random.normal(jax.random.PRNGKey(2 + i), (batch, 512))
+        for i in range(n1 + n2 + 1)
+    ]
     jax.block_until_ready(zs)
-    synth(zs[0]).block_until_ready()  # compile + warmup
+    float(synth(zs[-1])[1])  # compile + warmup
 
-    t0 = time.time()
-    outs = [synth(z) for z in zs]
-    jax.block_until_ready(outs)
-    dt = time.time() - t0
-    return batch * n_iters / dt
+    def run(zlist):
+        t0 = time.time()
+        out = None
+        for z in zlist:
+            out = synth(z)
+        float(out[1])  # fetch = completion barrier for the in-order queue
+        return time.time() - t0
+
+    t1 = run(zs[:n1])
+    t2 = run(zs[n1 : n1 + n2])
+    return batch * (n2 - n1) / (t2 - t1)
 
 
 def parity_err_vs_reference(size: int = 256, batch: int = 2):
@@ -117,12 +135,18 @@ def parity_err_vs_reference(size: int = 256, batch: int = 2):
 
 
 def bench_train_step(
-    size: int = 256, batch: int = 8, accum: int = 1, n_iters: int = 8, fast_warp: bool = False
+    size: int = 256, batch: int = 8, accum: int = 1, n1: int = 2, n2: int = 6,
+    fast_warp: bool = False,
 ) -> float:
     """Full GAN train step (D + ADA + lazy regs + G + lookahead + EMA), bf16.
     256² b8 is the packed-warp ADA operating point (train/augment); 1024²
     b4×3 honors the reference's flagship config (train.py:366,375: batch 12
-    @1024² with accumulation) with the 1×-grid ADA warp + discriminator s2d."""
+    @1024² with accumulation) with the 1×-grid ADA warp + discriminator s2d.
+
+    State chains through iterations (true sequential dependency) and the
+    barrier is a host fetch of the final metrics scalar — block_until_ready
+    returns early through the tunnel (see bench_dtype). Per-iter = two-run
+    slope to cancel fixed tunnel latency."""
     import time as _time
 
     from maua_tpu.train import init_train_state, make_train_config, make_train_step
@@ -136,16 +160,24 @@ def bench_train_step(
     step = jax.jit(make_train_step(gen, disc, cfg))
     reals = [
         jax.random.normal(jax.random.PRNGKey(10 + i), (accum, batch, 3, size, size))
-        for i in range(n_iters + 1)
+        for i in range(n1 + n2 + 1)
     ]
     jax.block_until_ready(reals)
-    state, m = step(state, reals[0], jax.random.PRNGKey(1))
-    jax.block_until_ready(m)
-    t0 = _time.time()
-    for i in range(1, n_iters + 1):
-        state, m = step(state, reals[i], jax.random.PRNGKey(1 + i))
-    jax.block_until_ready(m)
-    return (_time.time() - t0) / n_iters * 1000
+    _, m = step(state, reals[-1], jax.random.PRNGKey(1))
+    float(m["Discriminator"])  # compile + warmup
+
+    def run(k0, k):
+        st = state
+        t0 = _time.time()
+        m = None
+        for i in range(k):
+            st, m = step(st, reals[k0 + i], jax.random.PRNGKey(1 + k0 + i))
+        float(m["Discriminator"])  # fetch = completion barrier
+        return _time.time() - t0
+
+    t1 = run(0, n1)
+    t2 = run(n1, n2)
+    return (t2 - t1) / (n2 - n1) * 1000
 
 
 def main() -> int:
@@ -189,7 +221,7 @@ def main() -> int:
     # flagship 1024² training config (reference train.py:366,375: batch 12
     # via accumulation) — batch 4 × 3 microbatches, 1×-grid ADA warp, G+D s2d
     try:
-        ms = bench_train_step(size=1024, batch=4, accum=3, n_iters=4, fast_warp=True)
+        ms = bench_train_step(size=1024, batch=4, accum=3, n1=1, n2=3, fast_warp=True)
         print(f"train step 1024^2 batch 4x3 bf16: {ms:.0f} ms", file=sys.stderr)
         result["train_step_1024_ms"] = round(ms, 1)
         result["train_1024_imgs_per_sec"] = round(12 / (ms / 1000), 2)

@@ -585,9 +585,13 @@ def apply_affine(
 
     method: "conv" (upfirdn convs + packed NCHW gather — the CPU default),
     "matmul" (separable band-matrix matmuls on [B·C, H, W] + folded gather —
-    the accelerator default; see _resample_sep for why), or None = per-platform
-    auto. Both produce identical values (pinned by tests) — the dispatch is
-    purely a layout/perf decision.
+    the accelerator default; see _resample_sep for why), "fft" (gather-free
+    FFT-shear decomposition, square images only — see fft_warp.py; implies the
+    1×-grid fast semantics, `oversample_grid` is ignored), or None =
+    per-platform auto. conv and matmul produce identical values (pinned by
+    tests) — that dispatch is purely a layout/perf decision; fft changes the
+    interpolant (periodic-sinc shears + widened-tri scales) and is the fastest
+    training mode on TPU.
 
     oversample_grid=False (matmul method only) samples the 2×-presmoothed
     source directly at the 1× output grid and skips the decimation filter —
@@ -600,6 +604,10 @@ def apply_affine(
     """
     if method is None:
         method = "conv" if jax.default_backend() in ("cpu",) else "matmul"
+    if method == "fft":
+        from .fft_warp import affine_warp_fft
+
+        return affine_warp_fft(img, G, pad_frac=pad_frac)
     b, c, h, w = img.shape
     k = jnp.asarray(SYM6, jnp.float32)
     len_k = len(SYM6)
@@ -693,16 +701,18 @@ def augment(
     rng: jax.Array | None = None,
     params: AugmentParams | None = None,
     fast_warp: bool = False,
+    warp_method: str | None = None,
 ) -> tuple[Array, AugmentParams]:
     """ADA entry point (reference: augment.py:364-368): affine then color.
     Pass `params` to reuse previously-sampled matrices, else `rng` to sample.
     fast_warp=True uses the 1×-output-grid warp (see apply_affine) — the
-    high-resolution training mode."""
+    high-resolution training mode. warp_method overrides the geometry path
+    outright ("fft" = the gather-free FFT-shear warp, the fastest TPU mode)."""
     if params is None:
         if rng is None:
             raise ValueError("augment() needs rng or params")
         params = sample_augment_params(rng, p, img.shape[0], img.shape[2], img.shape[3])
-    method = "matmul" if fast_warp else None
+    method = warp_method if warp_method else ("matmul" if fast_warp else None)
     out = apply_affine(img, params.affine, method=method, oversample_grid=not fast_warp)
     out = apply_color(out, params.color)
     return out, params

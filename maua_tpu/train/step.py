@@ -83,6 +83,12 @@ class TrainConfig(NamedTuple):
     # bottleneck at 1024². Source-side antialiasing retained; recommended for
     # size >= 512 training
     ada_fast_warp: bool = False
+    # "fft" = the gather-free FFT-shear ADA warp (train/fft_warp.py): the
+    # whole geometric augment becomes FFTs + MXU matmuls, removing the
+    # per-pixel gather (108 ms fwd @256² b8) and its scatter adjoint (the
+    # measured ~78%-of-step cost). Square training images only. None = use
+    # the gather paths per ada_fast_warp
+    ada_warp_method: str | None = None
 
 
 def make_train_config(**kwargs) -> TrainConfig:
@@ -257,8 +263,8 @@ def make_train_phases(gen: Generator, disc: Discriminator, cfg: TrainConfig) -> 
         wplus = _mixed_wplus(gen, g_params, buffers, kw, real.shape[0], cfg)
         fake = jax.lax.stop_gradient(synth(g_params, wplus, kn, buffers))
         if cfg.augment:
-            fake_aug, _ = augment(fake, ada_p, rng=ka1, fast_warp=cfg.ada_fast_warp)
-            real_aug, _ = augment(real, ada_p, rng=ka2, fast_warp=cfg.ada_fast_warp)
+            fake_aug, _ = augment(fake, ada_p, rng=ka1, fast_warp=cfg.ada_fast_warp, warp_method=cfg.ada_warp_method)
+            real_aug, _ = augment(real, ada_p, rng=ka2, fast_warp=cfg.ada_fast_warp, warp_method=cfg.ada_warp_method)
         else:
             fake_aug, real_aug = fake, real
         fake_pred = d_apply(d_params, fake_aug)
@@ -382,7 +388,7 @@ def make_train_phases(gen: Generator, disc: Discriminator, cfg: TrainConfig) -> 
         wplus = _mixed_wplus(gen, g_params, buffers, kw, batch, cfg)
         fake = synth(g_params, wplus, kn, buffers)
         if cfg.augment:
-            fake, _ = augment(fake, ada_p, rng=ka, fast_warp=cfg.ada_fast_warp)
+            fake, _ = augment(fake, ada_p, rng=ka, fast_warp=cfg.ada_fast_warp, warp_method=cfg.ada_warp_method)
         loss = g_nonsaturating_loss(d_apply(d_params, fake))
         return loss / cfg.num_accumulate, loss
 

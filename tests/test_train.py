@@ -412,3 +412,96 @@ def test_apply_affine_fast_warp_mode():
 
     with pytest.raises(NotImplementedError):
         apply_affine(img, eye, method="conv", oversample_grid=False)
+
+
+def test_affine_warp_fft_exact_cases():
+    """The gather-free FFT-shear warp (train/fft_warp.py) is EXACT (not just
+    close) for the lattice-preserving transforms ADA samples — identity,
+    x-flip, 90-degree rotation, integer translation — because integer-rounded
+    band centering leaves only integer FFT shifts (exact circular rolls) and
+    unit-scale band matrices (exact taps). taper off to test the raw warp."""
+    import jax
+    import jax.numpy as jnp
+
+    from maua_tpu.train.fft_warp import affine_warp_fft
+
+    h = 32
+    img = jax.random.normal(jax.random.PRNGKey(0), (2, 3, h, h))
+
+    eye = jnp.broadcast_to(jnp.eye(3), (2, 3, 3))
+    out = affine_warp_fft(img, eye, taper_from=None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=2e-5)
+
+    # x-flip: pixel x' reads w-1-x' (pixel-center symmetric grid)
+    flip = jnp.broadcast_to(jnp.diag(jnp.array([-1.0, 1.0, 1.0])), (2, 3, 3))
+    out = affine_warp_fft(img, flip, taper_from=None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img[..., ::-1]), atol=2e-5)
+
+    # 90-degree rotation = transpose + flip on the pixel lattice
+    c, s = 0.0, 1.0
+    rot = jnp.broadcast_to(
+        jnp.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]]), (2, 3, 3)
+    )
+    out = affine_warp_fft(img, rot, taper_from=None)
+    ref = jnp.rot90(img, k=-1, axes=(-2, -1))
+    # direction-agnostic check: one of the two 90-degree turns must match
+    ref2 = jnp.rot90(img, k=1, axes=(-2, -1))
+    err1 = float(jnp.max(jnp.abs(out - ref)))
+    err2 = float(jnp.max(jnp.abs(out - ref2)))
+    assert min(err1, err2) < 2e-5, (err1, err2)
+
+    # integer translation by k pixels reads the reflect-padded source exactly
+    k = 3
+    tr = jnp.broadcast_to(
+        jnp.array([[1.0, 0.0, 2.0 * k / h], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]), (2, 3, 3)
+    )
+    out = affine_warp_fft(img, tr, taper_from=None)
+    padded = jnp.pad(img, ((0, 0), (0, 0), (0, 0), (k, 0)), mode="reflect")
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(padded[..., :h]), atol=2e-5
+    )
+
+
+def test_affine_warp_fft_matches_gather_on_smooth():
+    """On smooth content the FFT-shear warp agrees with the gather fast-warp
+    path for random ADA affines (different interpolants — periodic sinc +
+    widened tri vs 2x-oversampled bilinear — so interior tolerance, same
+    spirit as test_apply_affine_fast_warp_mode), and gradients flow."""
+    import jax
+    import jax.numpy as jnp
+
+    from maua_tpu.train.augment import apply_affine, augment, sample_affine
+    from maua_tpu.train.fft_warp import affine_warp_fft
+
+    ys, xs = jnp.meshgrid(jnp.linspace(0, 3, 32), jnp.linspace(0, 2, 32), indexing="ij")
+    img = jnp.stack([jnp.sin(ys + c) * jnp.cos(xs - c) for c in range(3)])[None]
+    img = jnp.concatenate([img, img * 0.5], axis=0)  # [2,3,32,32]
+
+    G = sample_affine(jax.random.PRNGKey(1), jnp.asarray(0.5), 2, 32, 32)
+    gather = apply_affine(img, G, method="matmul", oversample_grid=False)
+    fft = affine_warp_fft(img, G, taper_from=None)
+    np.testing.assert_allclose(
+        np.asarray(fft)[:, :, 6:-6, 6:-6], np.asarray(gather)[:, :, 6:-6, 6:-6], atol=0.06
+    )
+
+    # default taper on: finite, close to untapered on smooth content
+    fft_t = affine_warp_fft(img, G)
+    assert np.isfinite(np.asarray(fft_t)).all()
+    np.testing.assert_allclose(
+        np.asarray(fft_t)[:, :, 6:-6, 6:-6], np.asarray(fft)[:, :, 6:-6, 6:-6], atol=0.05
+    )
+
+    g = jax.grad(lambda x: jnp.sum(affine_warp_fft(x, G) ** 2))(img)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.max(jnp.abs(g))) > 0
+
+    # augment() integration: warp_method="fft" end to end (affine + color)
+    out, _ = augment(img, jnp.asarray(0.8), rng=jax.random.PRNGKey(3), warp_method="fft")
+    assert out.shape == img.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+    # non-square guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="square"):
+        affine_warp_fft(jnp.zeros((1, 3, 16, 32)), jnp.broadcast_to(jnp.eye(3), (1, 3, 3)))
