@@ -136,7 +136,7 @@ def parity_err_vs_reference(size: int = 256, batch: int = 2):
 
 def bench_train_step(
     size: int = 256, batch: int = 8, accum: int = 1, n1: int = 2, n2: int = 6,
-    fast_warp: bool = False,
+    fast_warp: bool = False, warp_method: str | None = None,
 ) -> float:
     """Full GAN train step (D + ADA + lazy regs + G + lookahead + EMA), bf16.
     256² b8 is the packed-warp ADA operating point (train/augment); 1024²
@@ -154,7 +154,7 @@ def bench_train_step(
     cfg = make_train_config(
         size=size, batch_size=batch, num_accumulate=accum, bf16=True,
         lookahead=True, augment=True, d_reg_every=16, g_reg_every=4,
-        ada_fast_warp=fast_warp,
+        ada_fast_warp=fast_warp, ada_warp_method=warp_method,
     )
     state, gen, disc = init_train_state(jax.random.PRNGKey(0), cfg)
     step = jax.jit(make_train_step(gen, disc, cfg))
@@ -210,19 +210,24 @@ def main() -> int:
     except Exception as e:
         print(f"parity check failed: {e}", file=sys.stderr)
 
+    # 256² with the gather-free FFT-shear ADA warp (train/fft_warp.py) — the
+    # recommended TPU training mode; the warp's gather/scatter was the
+    # measured ~78% of the gather-mode step (PARITY.md phase profile)
     try:
-        ms = bench_train_step()
-        print(f"train step 256^2 batch 8 bf16: {ms:.0f} ms", file=sys.stderr)
+        ms = bench_train_step(warp_method="fft")
+        print(f"train step 256^2 batch 8 bf16 (fft warp): {ms:.0f} ms", file=sys.stderr)
         result["train_step_256_ms"] = round(ms, 1)
         result["train_imgs_per_sec"] = round(8 / (ms / 1000), 2)
     except Exception as e:
         print(f"train-step bench failed: {e}", file=sys.stderr)
 
     # flagship 1024² training config (reference train.py:366,375: batch 12
-    # via accumulation) — batch 4 × 3 microbatches, 1×-grid ADA warp, G+D s2d
+    # via accumulation) — batch 4 × 3 microbatches, FFT-shear warp, G+D s2d.
+    # Gather-warp honest baselines for the same configs: 1065 ms @256²
+    # (exact 2× warp), 7934 ms here (1×-grid fast warp), 2026-08-18
     try:
-        ms = bench_train_step(size=1024, batch=4, accum=3, n1=1, n2=3, fast_warp=True)
-        print(f"train step 1024^2 batch 4x3 bf16: {ms:.0f} ms", file=sys.stderr)
+        ms = bench_train_step(size=1024, batch=4, accum=3, n1=1, n2=3, warp_method="fft")
+        print(f"train step 1024^2 batch 4x3 bf16 (fft warp): {ms:.0f} ms", file=sys.stderr)
         result["train_step_1024_ms"] = round(ms, 1)
         result["train_1024_imgs_per_sec"] = round(12 / (ms / 1000), 2)
     except Exception as e:

@@ -87,6 +87,15 @@ def train_loop(args) -> None:
         # point (4× fewer gather/scatter windows); exact 2× oversampling at
         # low res where the warp is cheap
         ada_fast_warp=(args.size >= 512 if args.ada_fast_warp < 0 else bool(args.ada_fast_warp)),
+        # auto: the gather-free FFT-shear warp (train/fft_warp.py) on
+        # accelerators — the dominant measured step cost at every size is the
+        # warp's gather/scatter, which this removes; the gather paths remain
+        # for CPU (cheap there) and as the parity oracle
+        ada_warp_method=(
+            None
+            if args.ada_warp == "auto" and jax.default_backend() == "cpu"
+            else ("fft" if args.ada_warp == "auto" else (args.ada_warp or None))
+        ),
     )
     if getattr(args, "print_config", False):
         import json as _json
@@ -330,6 +339,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bf16 conv compute in G/D (params fp32) — the TPU fast path")
     p.add_argument("--s2d_min_res", type=int, default=-1,
                    help="polyphase (s2d) generator evaluation from this resolution up; -1=auto, 0=off")
+    p.add_argument("--ada_warp", type=str, default="auto",
+                   choices=["auto", "", "fft"],
+                   help="ADA geometric warp: auto = FFT-shear on accelerators / "
+                        "gather on CPU; '' = always gather; fft = always FFT-shear")
     p.add_argument("--ada_fast_warp", type=int, default=-1,
                    help="1x-output-grid ADA warp: -1=auto (on for size>=512), 0=off, 1=on")
     p.add_argument("--contrastive", type=float, default=0.0)

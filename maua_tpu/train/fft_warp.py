@@ -46,6 +46,8 @@ shear and the scale so the band matrices always index the valid window.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -74,7 +76,12 @@ def _fft_shift_rows(x: Array, shift: Array, taper_from: float | None) -> Array:
     suppresses ringing at the top of the band (the role the SYM6 presmooth
     plays in the reference pipeline)."""
     n = x.shape[-1]
-    f = jnp.fft.rfft(x.astype(jnp.float32), axis=-1)
+    # FFT on a flattened [rows, n] view: XLA:CPU's fft thunk RET_CHECKs on
+    # non-dim0-major layouts, which GSPMD batch sharding induces on the 4-D
+    # form (fft_thunk.cc:167, hit by the mesh test); the 2-D reshape keeps the
+    # sharded batch dim leading and the layout monotonic on every backend
+    f = jnp.fft.rfft(x.astype(jnp.float32).reshape(-1, n), axis=-1)
+    f = f.reshape(*x.shape[:-1], n // 2 + 1)
     k = jnp.arange(n // 2 + 1, dtype=jnp.float32)
     # e^{2πik·s/N}; fold s mod N first to keep the f32 phase argument small
     s = jnp.mod(shift.astype(jnp.float32), float(n))[..., None]
@@ -93,7 +100,8 @@ def _fft_shift_rows(x: Array, shift: Array, taper_from: float | None) -> Array:
             0.5 * (1.0 + jnp.cos(jnp.pi * (fr - taper_from) / max(1.0 - taper_from, 1e-6))),
         )
         f = f * t
-    return jnp.fft.irfft(f, n=n, axis=-1)
+    out = jnp.fft.irfft(f.reshape(-1, f.shape[-1]), n=n, axis=-1)
+    return out.reshape(*f.shape[:-1], n)
 
 
 def _scale_band(n_out: int, n_in: int, sigma: Array, gamma: Array) -> Array:
@@ -140,7 +148,7 @@ def affine_warp_fft(
     if h != w:
         raise ValueError(f"affine_warp_fft needs square images, got {h}x{w}")
 
-    pad_min = int(jnp.ceil(h * pad_frac)) + 1
+    pad_min = math.ceil(h * pad_frac) + 1
     hp = next_smooth(h + 2 * pad_min)
     pad = (hp - h) // 2
     pad2 = hp - h - pad

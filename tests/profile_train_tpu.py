@@ -39,6 +39,7 @@ p.add_argument("--accum", type=int, default=1)
 p.add_argument("--s2d", type=int, default=-1)
 p.add_argument("--bf16", action="store_true")
 p.add_argument("--fast_warp", action="store_true")
+p.add_argument("--fft_warp", action="store_true", help="gather-free FFT-shear ADA warp")
 p.add_argument("--iters", type=int, default=6)
 p.add_argument("--no_fused", action="store_true", help="skip the fused full-step timing")
 args = p.parse_args()
@@ -46,6 +47,7 @@ args = p.parse_args()
 cfg = make_train_config(
     size=args.size, batch_size=args.batch, num_accumulate=args.accum,
     augment=True, lookahead=True, bf16=args.bf16, ada_fast_warp=args.fast_warp,
+    ada_warp_method="fft" if args.fft_warp else None,
     d_reg_every=16, g_reg_every=4, s2d_min_res=args.s2d,
 )
 state, gen, disc = init_train_state(jax.random.PRNGKey(0), cfg)
@@ -126,7 +128,8 @@ rows.append(bench("lookahead + EMA tail", lambda s: (phases["tail"](s),), state,
 from maua_tpu.train.augment import augment as _augment
 
 def aug_only(img, key):
-    out, _ = _augment(img, jnp.asarray(0.5), rng=key, fast_warp=cfg.ada_fast_warp)
+    out, _ = _augment(img, jnp.asarray(0.5), rng=key, fast_warp=cfg.ada_fast_warp,
+                      warp_method=cfg.ada_warp_method)
     return (out, jnp.mean(out.astype(jnp.float32)))
 
 rows.append(bench("  [attribution] ADA augment fwd only", aug_only, reals[0],

@@ -430,12 +430,12 @@ def test_affine_warp_fft_exact_cases():
 
     eye = jnp.broadcast_to(jnp.eye(3), (2, 3, 3))
     out = affine_warp_fft(img, eye, taper_from=None)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-4)
 
     # x-flip: pixel x' reads w-1-x' (pixel-center symmetric grid)
     flip = jnp.broadcast_to(jnp.diag(jnp.array([-1.0, 1.0, 1.0])), (2, 3, 3))
     out = affine_warp_fft(img, flip, taper_from=None)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(img[..., ::-1]), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img[..., ::-1]), atol=1e-4)
 
     # 90-degree rotation = transpose + flip on the pixel lattice
     c, s = 0.0, 1.0
@@ -448,7 +448,7 @@ def test_affine_warp_fft_exact_cases():
     ref2 = jnp.rot90(img, k=1, axes=(-2, -1))
     err1 = float(jnp.max(jnp.abs(out - ref)))
     err2 = float(jnp.max(jnp.abs(out - ref2)))
-    assert min(err1, err2) < 2e-5, (err1, err2)
+    assert min(err1, err2) < 1e-4, (err1, err2)
 
     # integer translation by k pixels reads the reflect-padded source exactly
     k = 3
@@ -458,7 +458,7 @@ def test_affine_warp_fft_exact_cases():
     out = affine_warp_fft(img, tr, taper_from=None)
     padded = jnp.pad(img, ((0, 0), (0, 0), (0, 0), (k, 0)), mode="reflect")
     np.testing.assert_allclose(
-        np.asarray(out), np.asarray(padded[..., :h]), atol=2e-5
+        np.asarray(out), np.asarray(padded[..., :h]), atol=1e-4
     )
 
 
@@ -505,3 +505,27 @@ def test_affine_warp_fft_matches_gather_on_smooth():
 
     with _pytest.raises(ValueError, match="square"):
         affine_warp_fft(jnp.zeros((1, 3, 16, 32)), jnp.broadcast_to(jnp.eye(3), (1, 3, 3)))
+
+
+def test_affine_warp_fft_on_mesh():
+    """The FFT-shear warp is batch-shardable (every op — FFT, phase multiply,
+    band matmul — is per-sample): sharded output equals the single-device
+    run. This is the warp the multichip dryrun trains with."""
+    import jax
+    import jax.numpy as jnp
+
+    from maua_tpu.parallel import get_mesh, shard_batch
+    from maua_tpu.train.augment import sample_affine
+    from maua_tpu.train.fft_warp import affine_warp_fft
+
+    mesh = get_mesh()
+    n = mesh.devices.size
+    img = jax.random.normal(jax.random.PRNGKey(0), (n, 3, 16, 16))
+    G = sample_affine(jax.random.PRNGKey(1), jnp.asarray(0.8), n, 16, 16)
+
+    ref = jax.jit(affine_warp_fft)(img, G)
+    img_s = shard_batch(img, mesh, batch_dim=0)
+    G_s = shard_batch(G, mesh, batch_dim=0)
+    out = jax.jit(affine_warp_fft)(img_s, G_s)
+    assert len({s.device for s in out.addressable_shards}) == n
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
