@@ -5,6 +5,11 @@ train.py:581-598): worker threads decode JPEG records on host CPU into a
 bounded queue; the main thread assembles [num_accumulate, batch, C, H, W]
 super-batches, pads/flips per config, and lands them pre-sharded on the data
 mesh so the jitted train step never blocks on host work.
+
+When the dataset yields uint8 HWC (MultiResolutionRecordDataset(...,
+uint8_hwc=True) — the train-CLI default), batches stay uint8 as
+[num_accumulate, batch, H, W, 3] and the jitted step normalizes on device:
+4x less host->device traffic and no host-side float conversion.
 """
 
 from __future__ import annotations
@@ -83,10 +88,16 @@ class DataLoader:
     def __next__(self):
         n = self.local_batch * self.num_accumulate
         items = [self._item_q.get() for _ in range(n)]
-        batch = np.stack(items).astype(np.float32)
+        batch = np.stack(items)
+        uint8_hwc = batch.dtype == np.uint8
+        if not uint8_hwc:
+            batch = batch.astype(np.float32)
         if self.flip:
             flips = self._rng.rand(n) < 0.5
-            batch[flips] = batch[flips][:, :, :, ::-1]
+            # width is axis 2 in [N, H, W, 3] uint8, axis 3 in [N, 3, H, W] f32
+            w_axis = 2 if uint8_hwc else 3
+            flipped = np.flip(batch[flips], axis=w_axis)
+            batch[flips] = flipped
         batch = batch.reshape(self.num_accumulate, self.local_batch, *batch.shape[1:])
         if self.mesh is not None:
             if self.process_count > 1:

@@ -86,7 +86,8 @@ class MultiResolutionRecordDataset:
     Decodes JPEG via OpenCV, normalizes to [-1,1] NCHW float32; corrupt
     records retry with a random index like the reference (dataset.py:27-39)."""
 
-    def __init__(self, root: str, resolution: int = 256, seed: int = 0):
+    def __init__(self, root: str, resolution: int = 256, seed: int = 0,
+                 uint8_hwc: bool = False):
         pattern = os.path.join(root, f"*-{resolution}-*.mrec")
         paths = sorted(glob.glob(pattern))
         if not paths:
@@ -95,6 +96,7 @@ class MultiResolutionRecordDataset:
         self.sizes = np.array([len(r) for r in self.readers])
         self.cum = np.concatenate([[0], np.cumsum(self.sizes)])
         self.resolution = resolution
+        self.uint8_hwc = uint8_hwc
         self._rng = np.random.RandomState(seed)
 
     def __len__(self) -> int:
@@ -114,6 +116,11 @@ class MultiResolutionRecordDataset:
                 if img is None:
                     raise ValueError("decode failed")
                 img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+                if self.uint8_hwc:
+                    # uint8 input pipeline: ship [H, W, 3] uint8 to the
+                    # accelerator and normalize on device (train/step.py) —
+                    # 4x less host->device traffic than fp32 CHW.
+                    return img
                 from ..native import hwc_u8_to_chw_f32
 
                 return hwc_u8_to_chw_f32(img[None])[0]

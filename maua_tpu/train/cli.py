@@ -149,7 +149,12 @@ def train_loop(args) -> None:
         if latest:
             state = restore_checkpoint(latest, state)
 
-    dataset = MultiResolutionRecordDataset(args.path, resolution=args.size)
+    # uint8 input pipeline by default: the loader ships [A,B,H,W,3] uint8 and
+    # the jitted step normalizes on device — 4x less host->device traffic
+    # (train/step.py). --no_uint8_loader restores host-side fp32 conversion.
+    dataset = MultiResolutionRecordDataset(
+        args.path, resolution=args.size, uint8_hwc=not args.no_uint8_loader
+    )
     loader = DataLoader(
         dataset,
         batch_size=cfg.batch_size,
@@ -358,6 +363,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_every", type=int, default=10)
     p.add_argument("--n_sample", type=int, default=8)
     p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--no_uint8_loader", action="store_true",
+                   help="ship fp32 CHW batches (host-side conversion) instead "
+                        "of the default uint8 NHWC device-normalized pipeline")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--wandb", action="store_true")
     p.add_argument("--wandb_project", type=str, default="maua_tpu")

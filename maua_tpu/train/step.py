@@ -492,14 +492,24 @@ def make_train_phases(gen: Generator, disc: Discriminator, cfg: TrainConfig) -> 
 def make_train_step(gen: Generator, disc: Discriminator, cfg: TrainConfig):
     """Build the jittable train_step(state, real_imgs, rng) -> (state, metrics).
 
-    real_imgs: [num_accumulate, batch, 3, size, size] in [-1, 1].
+    real_imgs: [num_accumulate, batch, 3, size, size] float in [-1, 1], OR
+    [num_accumulate, batch, size, size, 3] uint8 straight from the decoder —
+    the uint8 form is transposed + normalized on device (4x less host->device
+    traffic; the TPU-idiomatic input pipeline). The choice is static at trace
+    time (dtype is part of the jit signature).
     """
     phases = make_train_phases(gen, disc, cfg)
     d_phase, r1_phase, ada_phase = phases["d"], phases["r1"], phases["ada"]
     g_phase, path_phase, tail = phases["g"], phases["path"], phases["tail"]
 
     def train_step(state: GANTrainState, real_imgs: Array, rng: jax.Array):
-        """real_imgs: [num_accumulate, batch, 3, size, size]."""
+        """real_imgs: [A, B, 3, H, W] float in [-1,1] or [A, B, H, W, 3] uint8."""
+        if real_imgs.dtype == jnp.uint8:
+            # same formula as the host converter (native/convert.cpp:19-29)
+            real_imgs = (
+                jnp.transpose(real_imgs, (0, 1, 4, 2, 3)).astype(jnp.float32)
+                * (1.0 / 127.5) - 1.0
+            )
         k_d, k_r1, k_g, k_path = jax.random.split(rng, 4)
 
         state, d_aux = d_phase(state, real_imgs, k_d)

@@ -76,3 +76,24 @@ def test_loader_superbatch_shape(image_folder, tmp_path):
     batch = next(dl)
     assert batch.shape == (2, 2, 3, 32, 32)
     dl.close()
+
+
+def test_loader_uint8_pipeline(image_folder, tmp_path):
+    """uint8_hwc mode ships [A, B, H, W, 3] uint8 straight from the decoder
+    (device-side normalization in train/step.py), and its pixels match the
+    fp32 CHW path exactly under the host formula x/127.5 - 1."""
+    out = str(tmp_path / "shards")
+    prepare_data(image_folder, out, sizes=(32,), n_workers=1)
+    ds8 = MultiResolutionRecordDataset(out, resolution=32, uint8_hwc=True)
+    img8 = ds8[0]
+    assert img8.dtype == np.uint8 and img8.shape == (32, 32, 3)
+    dsf = MultiResolutionRecordDataset(out, resolution=32)
+    np.testing.assert_allclose(
+        img8.transpose(2, 0, 1).astype(np.float32) / 127.5 - 1.0, dsf[0], atol=1e-6
+    )
+
+    dl = DataLoader(ds8, batch_size=2, num_accumulate=2, num_workers=2, prefetch=1)
+    batch = next(dl)
+    assert batch.dtype == np.uint8
+    assert batch.shape == (2, 2, 32, 32, 3)
+    dl.close()

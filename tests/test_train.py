@@ -166,6 +166,34 @@ def test_train_step_end_to_end_mesh():
     assert not np.allclose(np.asarray(g0), np.asarray(gs))
 
 
+def test_train_step_uint8_input_matches_f32():
+    """The uint8 NHWC input path (device-side transpose + x/127.5 - 1,
+    train/step.py) must reproduce the fp32 CHW path exactly: same batch fed
+    both ways through the SAME jitted step gives identical metrics."""
+    cfg = make_train_config(
+        size=16,
+        channel_max=32,
+        batch_size=2,
+        num_accumulate=1,
+        augment=False,
+        d_reg_every=1,
+        g_reg_every=1,
+    )
+    state, gen, disc = init_train_state(jax.random.PRNGKey(0), cfg)
+    step = jax.jit(make_train_step(gen, disc, cfg))
+
+    rng = np.random.RandomState(0)
+    u8 = rng.randint(0, 256, (1, 2, 16, 16, 3), dtype=np.uint8)
+    f32 = u8.transpose(0, 1, 4, 2, 3).astype(np.float32) * (1.0 / 127.5) - 1.0
+
+    _, m_u8 = step(state, jnp.asarray(u8), jax.random.PRNGKey(2))
+    _, m_f32 = step(state, jnp.asarray(f32), jax.random.PRNGKey(2))
+    for k in m_f32:
+        np.testing.assert_allclose(
+            float(m_u8[k]), float(m_f32[k]), rtol=1e-5, atol=1e-6, err_msg=k
+        )
+
+
 def test_loader_indices_disjoint_across_processes():
     """DistributedSampler semantics (reference train.py:31-37,592): two
     simulated processes must cover disjoint, exhaustive strided slices of the
