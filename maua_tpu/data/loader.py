@@ -89,8 +89,20 @@ class DataLoader:
         n = self.local_batch * self.num_accumulate
         items = [self._item_q.get() for _ in range(n)]
         batch = np.stack(items)
-        uint8_hwc = batch.dtype == np.uint8
-        if not uint8_hwc:
+        # layout comes from the dataset's declared mode, not dtype sniffing —
+        # a uint8-CHW or float-HWC dataset must fail loudly, not flip the
+        # wrong axis (datasets without the attribute are float-CHW)
+        uint8_hwc = bool(getattr(self.dataset, "uint8_hwc", False))
+        if uint8_hwc:
+            if batch.dtype != np.uint8 or batch.shape[-1] != 3:
+                raise ValueError(
+                    f"dataset declares uint8_hwc but yielded {batch.dtype} {batch.shape[1:]}"
+                )
+        else:
+            if batch.shape[1] != 3:
+                raise ValueError(
+                    f"dataset yields CHW float but batch item shape is {batch.shape[1:]}"
+                )
             batch = batch.astype(np.float32)
         if self.flip:
             flips = self._rng.rand(n) < 0.5

@@ -307,6 +307,12 @@ def train_loop(args) -> None:
         monitor.stop()
     if trace_ctx is not None:
         trace_ctx.__exit__(None, None, None)
+    if multiprocess:
+        # orderly teardown: without this the coordinator process can exit
+        # while a lagging rank is still polling the coordination service,
+        # which the peer escalates to a FATAL "leader died" abort (observed
+        # on the 2-process localhost test). shutdown() barriers + disconnects.
+        jax.distributed.shutdown()
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -504,6 +504,14 @@ def make_train_step(gen: Generator, disc: Discriminator, cfg: TrainConfig):
 
     def train_step(state: GANTrainState, real_imgs: Array, rng: jax.Array):
         """real_imgs: [A, B, 3, H, W] float in [-1,1] or [A, B, H, W, 3] uint8."""
+        # trace-time layout guard: dtype alone must not pick the layout —
+        # an fp32-NHWC (or uint8-CHW) batch would be consumed as garbage
+        chan_axis = 4 if real_imgs.dtype == jnp.uint8 else 2
+        if real_imgs.ndim != 5 or real_imgs.shape[chan_axis] != 3:
+            raise ValueError(
+                f"train_step expects {'[A,B,H,W,3] uint8' if real_imgs.dtype == jnp.uint8 else '[A,B,3,H,W] float'}"
+                f", got {real_imgs.dtype} {real_imgs.shape}"
+            )
         if real_imgs.dtype == jnp.uint8:
             # same formula as the host converter (native/convert.cpp:19-29)
             real_imgs = (

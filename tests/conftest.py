@@ -33,3 +33,12 @@ from maua_tpu.compile_cache import setup_compile_cache  # noqa: E402
 setup_compile_cache()
 
 assert jax.devices()[0].platform == "cpu", jax.devices()
+
+
+def pytest_collection_modifyitems(session, config, items):
+    """Run the subprocess-launching CLI tests FIRST: their child processes
+    need a quiet host, and on this 1-core box the parent's accumulated RSS +
+    jit caches after ~200 tests measurably raise the child SIGSEGV rate
+    (round-3 full-suite failure of test_train_cli_two_process). Alphabetical
+    order already put them early; make it explicit and total."""
+    items.sort(key=lambda it: 0 if "test_cli_train" in it.nodeid else 1)
