@@ -17,6 +17,7 @@ from .metrics import (
     ppl,
     fid,
     vae_fid,
+    weights_fingerprint,
 )
 
 __all__ = [
@@ -31,4 +32,5 @@ __all__ = [
     "ppl",
     "fid",
     "vae_fid",
+    "weights_fingerprint",
 ]

@@ -25,6 +25,7 @@ import numpy as np
 
 def _feature_net(weights_path: str | None, fid_variant: bool = False):
     from .inception import InceptionV3, inception_variables_from_torch
+    from .metrics import weights_fingerprint
 
     # default torchvision semantics = reference's validation stack; pass
     # fid_variant=True when `weights_path` is a pytorch-fid pt_inception .pth
@@ -45,14 +46,14 @@ def _feature_net(weights_path: str | None, fid_variant: bool = False):
     def feats(img):
         return net.apply(variables, InceptionV3.preprocess(img))
 
-    return feats, calibrated
+    return feats, calibrated, weights_fingerprint(variables)
 
 
 def cmd_inception(args) -> int:
     from ..data import MultiResolutionRecordDataset
     from .metrics import cached_dataset_stats
 
-    feats, calibrated = _feature_net(args.inception_weights, args.fid_inception)
+    feats, calibrated, fingerprint = _feature_net(args.inception_weights, args.fid_inception)
     ds = MultiResolutionRecordDataset(args.path, resolution=args.size)
 
     def batches():
@@ -66,7 +67,10 @@ def cmd_inception(args) -> int:
             yield np.stack(batch)
 
     stats = cached_dataset_stats(feats, batches(), args.out, max_items=args.n_sample)
-    print(json.dumps({"n_features": int(stats[0].shape[0]), "calibrated": calibrated, "out": args.out}))
+    print(json.dumps({
+        "n_features": int(stats[0].shape[0]), "calibrated": calibrated,
+        "pretrained": calibrated, "weights_fingerprint": fingerprint, "out": args.out,
+    }))
     return 0
 
 
@@ -76,7 +80,7 @@ def cmd_fid(args) -> int:
     from .metrics import fid
 
     gen, variables = load_generator(args.ckpt)
-    feats, calibrated = _feature_net(args.inception_weights, args.fid_inception)
+    feats, calibrated, fingerprint = _feature_net(args.inception_weights, args.fid_inception)
 
     # reference sampling protocol (validation/metrics.py:86,100-103): truncate
     # toward mean_latent(2^14); per-batch truncation U(0.9, 1.5) unless fixed
@@ -106,6 +110,8 @@ def cmd_fid(args) -> int:
         truncation=args.truncation,
     )
     out["calibrated_features"] = calibrated
+    out["pretrained"] = calibrated
+    out["weights_fingerprint"] = fingerprint
     out["feature_net"] = (
         ("fid-inception" if args.fid_inception else "torchvision-inception")
         + ("" if calibrated else "-random")
@@ -134,6 +140,7 @@ def cmd_ppl(args) -> int:
 
     if args.lpips_weights:
         from ..train.vae import make_perceptual_loss
+        from .metrics import weights_fingerprint
         import torch
 
         sd = torch.load(args.lpips_weights, map_location="cpu", weights_only=False)
@@ -141,6 +148,7 @@ def cmd_ppl(args) -> int:
         pl = make_perceptual_loss(sd, net="vgg")
         dist = lambda a, b: jax.vmap(lambda x, y: pl(x[None], y[None]))(a, b)
         dist_name = "lpips-vgg"
+        fingerprint: str | None = weights_fingerprint(sd)
     else:
         # multi-scale L2 as the perceptual proxy when no LPIPS weights exist
         def dist(a, b):
@@ -152,11 +160,16 @@ def cmd_ppl(args) -> int:
             return total
 
         dist_name = "multiscale-l2-proxy"
+        fingerprint = None
 
     val = ppl(synthesize_from_w, map_latents, dist, n_sample=args.n_sample, batch_size=args.batch, crop=args.crop)
     # the number is only comparable to published PPLs when distance=lpips-vgg:
     # tag the JSON so a reader of the output alone can tell
-    print(json.dumps({"ppl": val, "distance": dist_name}))
+    print(json.dumps({
+        "ppl": val, "distance": dist_name,
+        "pretrained": args.lpips_weights is not None,
+        "weights_fingerprint": fingerprint,
+    }))
     return 0
 
 

@@ -18,6 +18,27 @@ import scipy.linalg
 Array = jnp.ndarray
 
 
+def weights_fingerprint(tree: Any) -> str:
+    """Short stable hash of a parameter pytree (or flat state dict), so metric
+    output JSON records WHICH backbone weights produced the number — random-
+    init vs pretrained FID backbones are indistinguishable from the value
+    alone (reference risk: validation/inception.py:13-15 always downloads the
+    canonical weights; here weights are optional)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    leaves_with_paths = sorted(
+        (jax.tree_util.keystr(kp), leaf)
+        for kp, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]
+    )
+    for path, leaf in leaves_with_paths:
+        arr = np.asarray(leaf)
+        h.update(path.encode())
+        h.update(str(arr.shape).encode())
+        h.update(arr.tobytes())
+    return h.hexdigest()[:16]
+
+
 def compute_stats(features: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """(mean, covariance) of a feature matrix [N, D]
     (reference: metrics.py:112-114)."""

@@ -188,7 +188,8 @@ def train_loop(args) -> None:
 
         from ..eval.cli import _feature_net
 
-        eval_feats, _ = _feature_net(args.inception_weights, getattr(args, 'fid_inception', False))
+        eval_feats, eval_pretrained, eval_fingerprint = _feature_net(
+            args.inception_weights, getattr(args, 'fid_inception', False))
         with open(args.inception_stats, "rb") as f:
             real_stats = pickle.load(f)
 
@@ -286,6 +287,8 @@ def train_loop(args) -> None:
                 n_sample=args.fid_n_sample, batch_size=args.fid_batch,
             )
             scores["step"] = i
+            scores["pretrained"] = eval_pretrained
+            scores["weights_fingerprint"] = eval_fingerprint
             print(json.dumps({"FID": scores["fid"], "step": i}))
             metrics_file.write(json.dumps(scores) + "\n")
             metrics_file.flush()
