@@ -576,6 +576,8 @@ def apply_affine(
     pad_frac: float = 0.25,
     method: str | None = None,
     oversample_grid: bool = True,
+    fft_taper: float | None = 0.85,
+    fft_taper_conditional: bool = True,
 ) -> Array:
     """Resample `img` through per-sample affine G with 2× SYM6 oversampling.
 
@@ -607,7 +609,10 @@ def apply_affine(
     if method == "fft":
         from .fft_warp import affine_warp_fft
 
-        return affine_warp_fft(img, G, pad_frac=pad_frac)
+        return affine_warp_fft(
+            img, G, pad_frac=pad_frac,
+            taper_from=fft_taper, taper_conditional=fft_taper_conditional,
+        )
     b, c, h, w = img.shape
     k = jnp.asarray(SYM6, jnp.float32)
     len_k = len(SYM6)
@@ -702,18 +707,24 @@ def augment(
     params: AugmentParams | None = None,
     fast_warp: bool = False,
     warp_method: str | None = None,
+    fft_taper: float | None = 0.85,
+    fft_taper_conditional: bool = True,
 ) -> tuple[Array, AugmentParams]:
     """ADA entry point (reference: augment.py:364-368): affine then color.
     Pass `params` to reuse previously-sampled matrices, else `rng` to sample.
     fast_warp=True uses the 1×-output-grid warp (see apply_affine) — the
     high-resolution training mode. warp_method overrides the geometry path
-    outright ("fft" = the gather-free FFT-shear warp, the fastest TPU mode)."""
+    outright ("fft" = the gather-free FFT-shear warp, the fastest TPU mode);
+    the fft_taper options only apply to that path (see fft_warp.py)."""
     if params is None:
         if rng is None:
             raise ValueError("augment() needs rng or params")
         params = sample_augment_params(rng, p, img.shape[0], img.shape[2], img.shape[3])
     method = warp_method if warp_method else ("matmul" if fast_warp else None)
-    out = apply_affine(img, params.affine, method=method, oversample_grid=not fast_warp)
+    out = apply_affine(
+        img, params.affine, method=method, oversample_grid=not fast_warp,
+        fft_taper=fft_taper, fft_taper_conditional=fft_taper_conditional,
+    )
     out = apply_color(out, params.color)
     return out, params
 

@@ -96,6 +96,8 @@ def train_loop(args) -> None:
             if args.ada_warp == "auto" and jax.default_backend() == "cpu"
             else ("fft" if args.ada_warp == "auto" else (args.ada_warp or None))
         ),
+        ada_fft_taper=(args.ada_fft_taper if args.ada_fft_taper > 0 else None),
+        ada_fft_taper_conditional=not args.ada_fft_taper_always,
     )
     if getattr(args, "print_config", False):
         import json as _json
@@ -177,12 +179,22 @@ def train_loop(args) -> None:
 
     sample_z = jax.random.normal(jax.random.PRNGKey(args.seed + 1), (args.n_sample, cfg.latent_dim))
 
-    # periodic FID during training (reference: train.py:287-305): requires
-    # precomputed dataset stats + (optionally) real inception weights
+    # periodic eval during training (reference: train.py:287-305). Two
+    # metrics: FID (requires precomputed stats + ideally real inception
+    # weights — see eval/cli.py) and SWD (eval/swd.py — weight-free sliced
+    # Wasserstein over pyramid patches; the trajectory metric usable in
+    # environments without pretrained backbones)
     eval_feats = None
     real_stats = None
-    if args.eval_every > 0 and args.inception_stats and multiprocess:
-        print("FID-in-training is single-process only (host-side feature loop); skipping")
+    swd_reals = None
+    if args.eval_every > 0 and multiprocess:
+        print("eval-in-training is single-process only (host-side loops); skipping")
+    elif args.eval_every > 0 and args.eval_metric == "swd":
+        n_swd = min(args.swd_n_sample, len(dataset))
+        reals = np.stack([dataset[i] for i in range(n_swd)])
+        if reals.dtype == np.uint8:  # loader-default uint8 HWC records
+            reals = reals.transpose(0, 3, 1, 2).astype(np.float32) / 127.5 - 1.0
+        swd_reals = reals
     elif args.eval_every > 0 and args.inception_stats:
         import pickle
 
@@ -262,6 +274,36 @@ def train_loop(args) -> None:
             imgs = _grid_synth(state.g_ema_params, state.g_buffers, sample_z)
             if is_main_process():
                 save_image_grid(np.asarray(imgs), os.path.join(args.run_dir, f"samples/{i:07d}.png"))
+
+        if (
+            swd_reals is not None
+            and args.eval_every > 0
+            and i > 0
+            and i % args.eval_every == 0
+        ):
+            from ..eval.swd import swd as swd_fn
+
+            n_swd = swd_reals.shape[0]
+            fakes = []
+            kf = jax.random.PRNGKey(args.seed + 7 + i)
+            mean_w = _fid_mean_latent(
+                state.g_ema_params, state.g_buffers, jax.random.PRNGKey(args.seed)
+            )
+            for start in range(0, n_swd, args.fid_batch):
+                b = min(args.fid_batch, n_swd - start)
+                kf, kb = jax.random.split(kf)
+                img = _fid_synth(
+                    state.g_ema_params, state.g_buffers, mean_w,
+                    kb, args.fid_batch, jnp.asarray(1.0),
+                )
+                fakes.append(np.asarray(img[:b], np.float32))
+            scores = swd_fn(swd_reals, np.concatenate(fakes))
+            scores["step"] = i
+            print(json.dumps({"SWD": scores["swd_avg"], "step": i}))
+            metrics_file.write(json.dumps(scores) + "\n")
+            metrics_file.flush()
+            if wandb_run is not None:
+                wandb_run.log({"SWD": scores["swd_avg"]}, step=i)
 
         if (
             process_count() == 1  # FID's host-side feature loop reads per-batch
@@ -354,9 +396,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--s2d_min_res", type=int, default=-1,
                    help="polyphase (s2d) generator evaluation from this resolution up; -1=auto, 0=off")
     p.add_argument("--ada_warp", type=str, default="auto",
-                   choices=["auto", "", "fft"],
+                   choices=["auto", "", "fft", "matmul", "conv"],
                    help="ADA geometric warp: auto = FFT-shear on accelerators / "
-                        "gather on CPU; '' = always gather; fft = always FFT-shear")
+                        "gather on CPU; '' = platform-auto gather; matmul/conv = "
+                        "that specific gather path; fft = always FFT-shear")
+    p.add_argument("--ada_fft_taper", type=float, default=0.85,
+                   help="fft-warp raised-cosine band taper start (fraction of "
+                        "Nyquist); <=0 disables the taper entirely")
+    p.add_argument("--ada_fft_taper_always", action="store_true",
+                   help="apply the fft-warp taper to ALL rows (round-3 "
+                        "behavior) instead of only fractionally-shifted ones")
     p.add_argument("--ada_fast_warp", type=int, default=-1,
                    help="1x-output-grid ADA warp: -1=auto (on for size>=512), 0=off, 1=on")
     p.add_argument("--contrastive", type=float, default=0.0)
@@ -379,7 +428,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--wandb", action="store_true")
     p.add_argument("--wandb_project", type=str, default="maua_tpu")
     p.add_argument("--log_spec_norm", action="store_true")
-    p.add_argument("--eval_every", type=int, default=0, help="FID interval (0 = off)")
+    p.add_argument("--eval_every", type=int, default=0, help="metric interval (0 = off)")
+    p.add_argument("--eval_metric", type=str, default="fid", choices=["fid", "swd"],
+                   help="fid needs --inception_stats (+ ideally real weights); swd "
+                        "(eval/swd.py) is weight-free — right for convergence "
+                        "trajectories without pretrained backbones")
+    p.add_argument("--swd_n_sample", type=int, default=256,
+                   help="real/fake set size for --eval_metric swd")
     p.add_argument("--inception_stats", type=str, default=None, help="pkl from eval.cli inception")
     p.add_argument("--inception_weights", type=str, default=None)
     p.add_argument("--fid_inception", action="store_true", help="inception_weights are pytorch-fid pt_inception")

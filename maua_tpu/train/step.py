@@ -89,6 +89,12 @@ class TrainConfig(NamedTuple):
     # measured ~78%-of-step cost). Square training images only. None = use
     # the gather paths per ada_fast_warp
     ada_warp_method: str | None = None
+    # fft-warp band taper (fft_warp.py): raised-cosine from this fraction of
+    # Nyquist, applied only to fractionally-shifted rows when conditional
+    # (lattice transforms — incl. the identity during ADA warm-up — stay
+    # exact). None disables; conditional=False restores always-on (ablation)
+    ada_fft_taper: float | None = 0.85
+    ada_fft_taper_conditional: bool = True
 
 
 def make_train_config(**kwargs) -> TrainConfig:
@@ -263,8 +269,10 @@ def make_train_phases(gen: Generator, disc: Discriminator, cfg: TrainConfig) -> 
         wplus = _mixed_wplus(gen, g_params, buffers, kw, real.shape[0], cfg)
         fake = jax.lax.stop_gradient(synth(g_params, wplus, kn, buffers))
         if cfg.augment:
-            fake_aug, _ = augment(fake, ada_p, rng=ka1, fast_warp=cfg.ada_fast_warp, warp_method=cfg.ada_warp_method)
-            real_aug, _ = augment(real, ada_p, rng=ka2, fast_warp=cfg.ada_fast_warp, warp_method=cfg.ada_warp_method)
+            fake_aug, _ = augment(fake, ada_p, rng=ka1, fast_warp=cfg.ada_fast_warp, warp_method=cfg.ada_warp_method,
+                                  fft_taper=cfg.ada_fft_taper, fft_taper_conditional=cfg.ada_fft_taper_conditional)
+            real_aug, _ = augment(real, ada_p, rng=ka2, fast_warp=cfg.ada_fast_warp, warp_method=cfg.ada_warp_method,
+                                  fft_taper=cfg.ada_fft_taper, fft_taper_conditional=cfg.ada_fft_taper_conditional)
         else:
             fake_aug, real_aug = fake, real
         fake_pred = d_apply(d_params, fake_aug)
@@ -388,7 +396,8 @@ def make_train_phases(gen: Generator, disc: Discriminator, cfg: TrainConfig) -> 
         wplus = _mixed_wplus(gen, g_params, buffers, kw, batch, cfg)
         fake = synth(g_params, wplus, kn, buffers)
         if cfg.augment:
-            fake, _ = augment(fake, ada_p, rng=ka, fast_warp=cfg.ada_fast_warp, warp_method=cfg.ada_warp_method)
+            fake, _ = augment(fake, ada_p, rng=ka, fast_warp=cfg.ada_fast_warp, warp_method=cfg.ada_warp_method,
+                                  fft_taper=cfg.ada_fft_taper, fft_taper_conditional=cfg.ada_fft_taper_conditional)
         loss = g_nonsaturating_loss(d_apply(d_params, fake))
         return loss / cfg.num_accumulate, loss
 

@@ -589,6 +589,61 @@ def test_ada_identity_is_noop_in_interior(ref_augment_mod):
     assert ref_err > 0.02, "reference resampler became identity-exact? revisit composed-parity tolerances"
 
 
+@pytest.mark.parametrize("name", sorted(_ADA_MATRICES))
+def test_ada_affine_parity_composed_fft(ref_augment_mod, name):
+    """Composed equivalence for the FFT-shear warp — the production TPU
+    default (--ada_warp auto -> fft) — mirroring the gather-path test above:
+        ref(G, x) ≈ ref(I, ours_fft(G, x))
+    with the DEFAULT conditional taper on. Pins the fft path's geometric
+    fidelity to the reference pipeline (reference: augment.py:292-341) the
+    same way the gather path's is (round-3 VERDICT item 1)."""
+    import jax.numpy as jnp
+    import torch
+
+    from maua_tpu.train.augment import AugmentParams
+    from maua_tpu.train.augment import augment as our_augment
+
+    img = _smooth_test_image()
+    B = img.shape[0]
+    C = np.tile(np.eye(4, dtype=np.float32)[None], (B, 1, 1))
+    I3 = np.eye(3, dtype=np.float32)[None]
+
+    def ref_apply(x, G):
+        out, _ = ref_augment_mod.augment(
+            torch.from_numpy(np.ascontiguousarray(x)), 1.0,
+            (torch.from_numpy(G), torch.from_numpy(C)),
+        )
+        return out.numpy()
+
+    G = np.asarray(_ADA_MATRICES[name], np.float32)[None]
+    ref_out = ref_apply(img, G)
+    params = AugmentParams(jnp.asarray(G), jnp.asarray(C))
+    ours_fft, _ = our_augment(jnp.asarray(img), 1.0, params=params, warp_method="fft")
+    ours_gather, _ = our_augment(jnp.asarray(img), 1.0, params=params)
+    composed_fft = ref_apply(np.asarray(ours_fft), I3)
+    composed_gather = ref_apply(np.asarray(ours_gather), I3)
+
+    m = 12
+    sl = np.s_[:, :, m:-m, m:-m]
+    d_fft = np.abs(ref_out[sl] - composed_fft[sl]).max()
+    d_gather = np.abs(ref_out[sl] - composed_gather[sl]).max()
+    scale = np.abs(ref_out[sl]).max()
+    # calibrate against the already-pinned gather path on the SAME transform.
+    # Note the composed error is dominated by the reference resampler's own
+    # sub-pixel artifact (worst under xflip, where it doesn't commute with
+    # mirroring), and the gather path scores BETTER than it deserves here:
+    # its SYM6 up/down cascade low-passes the output, suppressing exactly the
+    # high band where the artifact difference lives, while the fft path is
+    # lattice-exact and preserves it (measured: xflip fft 0.096 vs gather
+    # 0.057, scale_down fft 0.057 vs gather 0.018 — of a 0.5 value scale)
+    assert d_fft <= max(3.5 * d_gather, 0.02), (
+        f"{name}: fft composed err {d_fft:.4f} vs gather {d_gather:.4f}"
+    )
+    assert d_fft <= 0.2 * max(scale, 0.5), f"{name}: fft composed err {d_fft:.4f} vs scale {scale:.3f}"
+    moved = np.abs(ref_out[sl] - img[sl]).max()
+    assert moved > 4 * d_fft, f"{name}: transform too weak to distinguish ({moved:.4f} vs {d_fft:.4f})"
+
+
 def test_ada_color_parity_exact(ref_augment_mod):
     """apply_color is pure linear algebra — must match the reference exactly
     (reference: augment.py:344-352)."""
