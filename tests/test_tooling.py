@@ -188,3 +188,87 @@ def test_select_latents_cli(tiny_ckpt2, tmp_path):
     np.testing.assert_array_equal(intro, all_lat[[0, 2]])
     np.testing.assert_array_equal(drop, all_lat[[1, 3, 5]])
     assert os.path.exists(os.path.join(out, "intro_sheet.jpg"))
+
+
+def test_latent_picker_http_workflow(tmp_path):
+    """Drives the web latent picker end-to-end over real HTTP: gallery state,
+    image fetch, intro/drop selection (incl. clearing), new batch, save —
+    the reference's click-to-sort workflow (select_latents.py:262-341)
+    without a display."""
+    import json
+    import threading
+    import urllib.request
+
+    import numpy as np
+
+    from maua_tpu.pipeline.select_latents import LatentPicker, make_picker_server
+
+    rng = np.random.RandomState(0)
+    calls = []
+
+    def sample(n):
+        calls.append(n)
+        return rng.randn(n, 14, 512).astype(np.float32), np.tanh(
+            rng.randn(n, 3, 16, 16).astype(np.float32)
+        )
+
+    picker = LatentPicker(sample, str(tmp_path / "sel"), n_per_batch=4)
+    picker.new_batch()
+    srv = make_picker_server(picker, port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+
+    def get(path):
+        with urllib.request.urlopen(base + path, timeout=10) as r:
+            return r.headers.get_content_type(), r.read()
+
+    def post(path, obj=None):
+        req = urllib.request.Request(
+            base + path, data=json.dumps(obj or {}).encode(), method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=10) as r:
+            return json.loads(r.read())
+
+    try:
+        ctype, html = get("/")
+        assert ctype == "text/html" and b"latent picker" in html
+        state = json.loads(get("/state")[1])
+        assert len(state["items"]) == 4
+        ctype, jpg = get("/img/2.jpg")
+        assert ctype == "image/jpeg" and jpg[:2] == b"\xff\xd8"
+
+        post("/select", {"index": 0, "set": "intro"})
+        post("/select", {"index": 1, "set": "drop"})
+        post("/select", {"index": 2, "set": "intro"})
+        post("/select", {"index": 2, "set": None})  # clear
+        state = json.loads(get("/state")[1])
+        assert state["counts"] == {"intro": 1, "drop": 1}
+        assert state["items"][0]["set"] == "intro" and state["items"][2]["set"] is None
+
+        new = post("/batch")
+        assert new["indices"] == [4, 5, 6, 7] and calls == [4, 4]
+
+        post("/select", {"index": 5, "set": "intro"})
+        saved = post("/save")
+        intro = np.load(saved["intro"])
+        assert intro.shape == (2, 14, 512)
+        np.testing.assert_array_equal(intro[0], np.load(saved["all"])[0])
+        drop = np.load(saved["drop"])
+        assert drop.shape == (1, 14, 512)
+        import os
+
+        assert os.path.exists(str(tmp_path / "sel" / "intro_sheet.jpg"))
+
+        # error surfaces as HTTP 500 JSON, not a hung socket
+        import urllib.error
+
+        try:
+            post("/select", {"index": 99, "set": "intro"})
+            raise AssertionError("expected HTTPError")
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+    finally:
+        srv.shutdown()
+        t.join(timeout=5)
