@@ -163,6 +163,11 @@ def bench_train_step(
         for i in range(n1 + n2 + 1)
     ]
     jax.block_until_ready(reals)
+    try:  # XLA's own FLOP estimate of the traced step (for the mfu fields)
+        cost = step.lower(state, reals[-1], jax.random.PRNGKey(1)).compile().cost_analysis()
+        bench_train_step.last_flops = float((cost or {}).get("flops", 0.0))
+    except Exception:
+        bench_train_step.last_flops = 0.0
     _, m = step(state, reals[-1], jax.random.PRNGKey(1))
     float(m["Discriminator"])  # compile + warmup
 
@@ -218,6 +223,11 @@ def main() -> int:
         print(f"train step 256^2 batch 8 bf16 (fft warp): {ms:.0f} ms", file=sys.stderr)
         result["train_step_256_ms"] = round(ms, 1)
         result["train_imgs_per_sec"] = round(8 / (ms / 1000), 2)
+        if bench_train_step.last_flops:
+            # MFU vs v5e bf16 peak (197 TFLOP/s), FLOPs = XLA's estimate of
+            # the traced step (lazy-reg branches included by the tracer)
+            result["train_256_mfu"] = round(
+                bench_train_step.last_flops / (ms / 1000) / 197e12, 3)
     except Exception as e:
         print(f"train-step bench failed: {e}", file=sys.stderr)
 
@@ -230,6 +240,9 @@ def main() -> int:
         print(f"train step 1024^2 batch 4x3 bf16 (fft warp): {ms:.0f} ms", file=sys.stderr)
         result["train_step_1024_ms"] = round(ms, 1)
         result["train_1024_imgs_per_sec"] = round(12 / (ms / 1000), 2)
+        if bench_train_step.last_flops:
+            result["train_1024_mfu"] = round(
+                bench_train_step.last_flops / (ms / 1000) / 197e12, 3)
     except Exception as e:
         print(f"1024 train-step bench failed: {e}", file=sys.stderr)
 
