@@ -135,6 +135,31 @@ def aug_only(img, key):
 rows.append(bench("  [attribution] ADA augment fwd only", aug_only, reals[0],
                   lambda i: (key_of(i),), lambda out: out[0], lambda out: out[1]))
 
+
+def aug_fwd_bwd(img, key):
+    # the G-phase augment cost: VJP through the augmented image (the gradient
+    # w.r.t. the fakes flows through augment in the G phase)
+    def loss(x):
+        out, _ = _augment(x, jnp.asarray(0.5), rng=key, fast_warp=cfg.ada_fast_warp,
+                          warp_method=cfg.ada_warp_method)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss)(img)
+    return (g.astype(img.dtype), jnp.mean(g.astype(jnp.float32)))
+
+rows.append(bench("  [attribution] ADA augment fwd+bwd", aug_fwd_bwd, reals[0],
+                  lambda i: (key_of(i),), lambda out: out[0], lambda out: out[1]))
+
+
+def d_fwd_only(img, key):
+    del key
+    pred = disc.apply({"params": state.d_params}, img)
+    nxt = img + 1e-12 * jnp.mean(pred).astype(img.dtype)
+    return (nxt, jnp.mean(pred.astype(jnp.float32)))
+
+rows.append(bench("  [attribution] D fwd only", d_fwd_only, reals[0],
+                  lambda i: (key_of(i),), lambda out: out[0], lambda out: out[1]))
+
 def synth_only(z, key):
     from maua_tpu.train.step import _mixed_wplus
     kw, kn = jax.random.split(key)

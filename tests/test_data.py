@@ -154,3 +154,21 @@ def test_raw_record_writer_validates(tmp_path):
     w = RecordShardWriter(str(tmp_path / "y-8-0000.mrec"), fmt="raw", side=8)
     with pytest.raises(ValueError):
         w.append(np.zeros((4, 4, 3), np.uint8))  # wrong size
+
+
+def test_synthetic_dataset_generator(tmp_path):
+    """maua_tpu.data.synthetic: reproducible structured samples -> shards the
+    loader consumes (the data source behind the PARITY.md chip artifacts)."""
+    from maua_tpu.data.synthetic import synth_image, write_synth_shards
+
+    rng1 = np.random.default_rng(7)
+    rng2 = np.random.default_rng(7)
+    a, b = synth_image(rng1, 32), synth_image(rng2, 32)
+    np.testing.assert_array_equal(a, b)  # seeded => reproducible
+    assert a.dtype == np.uint8 and a.shape == (32, 32, 3)
+    assert a.std() > 5  # actual structure, not a constant field
+
+    out = str(tmp_path / "synth")
+    assert write_synth_shards(out, size=32, n=5, fmt="raw", seed=1, shard_size=3) == 5
+    ds = MultiResolutionRecordDataset(out, resolution=32, uint8_hwc=True)
+    assert len(ds) == 5 and np.asarray(ds[4]).shape == (32, 32, 3)
