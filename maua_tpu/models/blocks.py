@@ -372,13 +372,33 @@ class NoiseInjection(nn.Module):
     (reference: models/stylegan2.py:257-266)."""
 
     @nn.compact
-    def __call__(self, x: Array, noise: Optional[Array] = None, phase: bool = False) -> Array:
+    def __call__(
+        self,
+        x: Array,
+        noise: Optional[Array] = None,
+        phase: bool = False,
+        fast_phase_noise: bool = False,
+    ) -> Array:
         w = self.param("weight", nn.initializers.zeros, (1,))
         if phase:
             # x is the phase rep [B,4C,h,w]; noise arrives (or is drawn) at
             # native [.,1,2h,2w] and is phase-packed — the SAME values the
-            # native path adds, so parity holds even for randomize_noise
+            # native path adds, so parity holds even for randomize_noise.
+            # fast_phase_noise (training opt-in, train/step.py): fresh noise
+            # is drawn DIRECTLY in the phase layout [B,4,h,w] — iid normals
+            # are permutation-invariant, so the distribution is identical,
+            # but the [B,1,2h,2w] draw + space_to_depth is skipped: the
+            # 1-channel native shape is sublane-padded ~8× by XLA:TPU
+            # (measured @1024² b4: 6.7 ms per synthesis for the native-shape
+            # draws vs 1.4 ms phase-layout). Bitwise rng parity with the
+            # native path is deliberately given up in this mode.
             b, c4, h, width = x.shape
+            if noise is None and fast_phase_noise:
+                noise_p = jax.random.normal(
+                    self.make_rng("noise"), (b, 4, h, width), dtype=x.dtype
+                )
+                out = x.reshape(b, 4, c4 // 4, h, width) + w.astype(x.dtype) * noise_p[:, :, None]
+                return out.reshape(b, c4, h, width)
             if noise is None:
                 noise = jax.random.normal(
                     self.make_rng("noise"), (b, 1, 2 * h, 2 * width), dtype=x.dtype
@@ -457,6 +477,7 @@ class StyledConv(nn.Module):
         bends: Sequence[Any] = (),
         phase_in: bool = False,
         phase_out: bool = False,
+        fast_phase_noise: bool = False,
     ) -> Array:
         out = ModulatedConv2d(
             self.out_channel,
@@ -466,7 +487,9 @@ class StyledConv(nn.Module):
             blur_kernel=self.blur_kernel,
             name="conv",
         )(x, style, phase_in=phase_in, phase_out=phase_out)
-        out = NoiseInjection(name="noise")(out, noise, phase=phase_out)
+        out = NoiseInjection(name="noise")(
+            out, noise, phase=phase_out, fast_phase_noise=fast_phase_noise
+        )
         bias = self.param("act_bias", nn.initializers.zeros, (self.out_channel,))
         out = fused_leaky_relu(out, jnp.tile(bias, 4) if phase_out else bias)
         if phase_out and any(

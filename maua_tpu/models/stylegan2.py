@@ -136,6 +136,12 @@ class Generator(nn.Module):
     # 128. 0 disables. Recommended: the first resolution whose channel count
     # drops below 128 (512 for the full-width 1024² model). Must be >= 8.
     s2d_min_res: int = 0
+    # Training opt-in (train/step.py): randomize_noise draws at phase layers
+    # happen directly in the phase layout [B,4,h,w] instead of native
+    # [B,1,2h,2w]+space_to_depth — distribution-identical (iid), ~5× cheaper
+    # (XLA:TPU sublane-pads 1-channel tensors ~8×; see blocks.NoiseInjection).
+    # Default False keeps bitwise rng parity between native and s2d paths.
+    fast_phase_noise: bool = False
 
     @property
     def log_size(self) -> int:
@@ -316,12 +322,14 @@ class Generator(nn.Module):
             out = conv_a(
                 out, latent[:, i], noise=noise[2 * k + 1], bends=bends,
                 phase_in=in_phase, phase_out=out_phase,
+                fast_phase_noise=self.fast_phase_noise,
             )
             current_size *= 2
             activation_maps.append(_d2s(out) if out_phase else out)
             out = conv_b(
                 out, latent[:, i + 1], noise=noise[2 * k + 2], bends=bends,
                 phase_in=out_phase, phase_out=out_phase,
+                fast_phase_noise=self.fast_phase_noise,
             )
             activation_maps.append(_d2s(out) if out_phase else out)
             if self.min_rgb_size <= current_size:

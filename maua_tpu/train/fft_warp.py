@@ -47,9 +47,11 @@ shear and the scale so the band matrices always index the valid window.
 from __future__ import annotations
 
 import math
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Array = jnp.ndarray
 
@@ -67,11 +69,89 @@ def next_smooth(n: int) -> int:
         m += 1
 
 
+@lru_cache(maxsize=8)
+def _dft_mats(n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Real rDFT/irDFT as dense matrices (numpy fp32, cached per length):
+    Re = x @ cos_f, Im = −(x @ sin_f) with cos_f/sin_f [n, K] (K = n//2+1);
+    inverse x = (Re·w) @ cos_fᵀ − (Im·w) @ sin_fᵀ with the hermitian weights
+    w = (1, 2, …, 2[, 1 if n even])/n. Used by the "dftmm" shear impl below."""
+    k = np.arange(n // 2 + 1, dtype=np.float64)
+    j = np.arange(n, dtype=np.float64)
+    ang = (2.0 * np.pi / n) * np.outer(j, k)
+    w = np.full(n // 2 + 1, 2.0 / n)
+    w[0] = 1.0 / n
+    if n % 2 == 0:
+        w[-1] = 1.0 / n
+    return (
+        np.cos(ang).astype(np.float32),
+        np.sin(ang).astype(np.float32),
+        w.astype(np.float32),
+    )
+
+
+def _shift_rows_dftmm(
+    x: Array,
+    shift: Array,
+    taper_from: float | None,
+    taper_conditional: bool,
+) -> Array:
+    """`_fft_shift_rows` semantics with the rFFT/irFFT realized as shared DFT
+    MATMULS on the MXU instead of jnp.fft — the TPU fast path. Measured on the
+    v5e @1024² (hp=1600, [4,3,1600,1600]): one jnp.fft rfft+irfft roundtrip is
+    14.7 ms (VPU-bound) while the same roundtrip as two [rows,n]×[n,K] matmuls
+    is ~1.5 ms — the FFT was 2×17 ms of the 27 ms warp forward. The matrices
+    are trace-time constants (5 MB each @1600); inputs keep their dtype on the
+    MXU (bf16 training: bf16×bf16→fp32-accumulate; fp32 inputs get HIGHEST),
+    and the per-row phase arithmetic runs fp32 either way. bf16 coefficient
+    rounding adds ~4e-3 relative noise — validated against the fft impl in
+    tests/test_train.py; the fp32/parity path keeps the exact jnp.fft impl."""
+    n = x.shape[-1]
+    cos_f, sin_f, w = _dft_mats(n)
+    bf16 = x.dtype == jnp.bfloat16
+    mdt = jnp.bfloat16 if bf16 else jnp.float32
+    prec = None if bf16 else jax.lax.Precision.HIGHEST
+    cos_m = jnp.asarray(cos_f, mdt)
+    sin_m = jnp.asarray(sin_f, mdt)
+
+    dot = lambda a, b: jax.lax.dot_general(
+        a, b, (((a.ndim - 1,), (0,)), ((), ())),
+        precision=prec, preferred_element_type=jnp.float32,
+    )
+    xm = x.astype(mdt)
+    re = dot(xm, cos_m)  # [..., K] fp32
+    im = -dot(xm, sin_m)
+
+    k = jnp.arange(n // 2 + 1, dtype=jnp.float32)
+    s = jnp.mod(shift.astype(jnp.float32), float(n))[..., None]
+    ang = (2.0 * jnp.pi / n) * k * s
+    c, sn = jnp.cos(ang), jnp.sin(ang)
+    re, im = re * c - im * sn, re * sn + im * c
+    if n % 2 == 0:
+        im = im.at[..., -1].set(0.0)  # Nyquist of a real signal stays real
+    if taper_from is not None:
+        fr = k / (n / 2.0)
+        t = jnp.where(
+            fr <= taper_from,
+            1.0,
+            0.5 * (1.0 + jnp.cos(jnp.pi * (fr - taper_from) / max(1.0 - taper_from, 1e-6))),
+        )
+        if taper_conditional:
+            frac = s - jnp.round(s)
+            has_frac = jnp.abs(frac) > 1e-4
+            t = jnp.where(has_frac, t, 1.0)
+        re, im = re * t, im * t
+
+    wk = jnp.asarray(w, jnp.float32)
+    out = dot((re * wk).astype(mdt), cos_m.T) - dot((im * wk).astype(mdt), sin_m.T)
+    return out.astype(x.dtype) if bf16 else out
+
+
 def _fft_shift_rows(
     x: Array,
     shift: Array,
     taper_from: float | None,
     taper_conditional: bool = True,
+    impl: str = "fft",
 ) -> Array:
     """Shift each row of x [..., N] LEFT by `shift` rows-worth of samples —
     out[..., i] = x_interp[..., i + shift] — via an rFFT phase ramp
@@ -86,7 +166,12 @@ def _fft_shift_rows(
     antialiasing at all — in particular every image during the ADA warm-up,
     where the sampled transforms are identity (round-3 VERDICT weak #2).
     taper_conditional=False restores the round-3 always-on behavior (kept for
-    the training-quality ablation)."""
+    the training-quality ablation).
+
+    impl="dftmm" computes the identical transform with shared DFT matmuls on
+    the MXU (see _shift_rows_dftmm) — the TPU bf16 fast path."""
+    if impl == "dftmm":
+        return _shift_rows_dftmm(x, shift, taper_from, taper_conditional)
     n = x.shape[-1]
     # FFT on a flattened [rows, n] view: XLA:CPU's fft thunk RET_CHECKs on
     # non-dim0-major layouts, which GSPMD batch sharding induces on the 4-D
@@ -152,6 +237,7 @@ def affine_warp_fft(
     pad_frac: float = 0.25,
     taper_from: float | None = 0.85,
     taper_conditional: bool = True,
+    shear_impl: str = "auto",
 ) -> Array:
     """Warp [B, C, H, W] (square H == W) through per-sample normalized-coords
     affine G [B, 3, 3] — same contract as apply_affine(..., method="matmul",
@@ -160,7 +246,14 @@ def affine_warp_fft(
     The transform parameters (shears, scales, masks, band matrices) are
     stop-gradiented: ADA's matrices are sampled constants, and only the image
     gradient is needed (G pass backprops through augmented fakes,
-    reference: train.py:231-236)."""
+    reference: train.py:231-236).
+
+    shear_impl: "fft" = jnp.fft phase ramps (exact, the fp32/parity impl);
+    "dftmm" = the same transform as shared DFT matmuls on the MXU (the TPU
+    bf16 fast path — jnp.fft is VPU-bound, ~10× slower at 1024², see
+    _shift_rows_dftmm); "auto" = dftmm for bf16 inputs on an accelerator
+    backend, fft otherwise (CPU matmul-DFT would be slower than FFTW, and
+    fp32 callers are the parity/exactness modes)."""
     b, c, h, w = img.shape
     if h != w:
         raise ValueError(f"affine_warp_fft needs square images, got {h}x{w}")
@@ -170,6 +263,12 @@ def affine_warp_fft(
     # fp32 inputs get fp32 matmuls (parity semantics), bf16 training keeps
     # the fast default — its images are bf16-rounded anyway
     prec = jax.lax.Precision.HIGHEST if img.dtype == jnp.float32 else None
+    if shear_impl == "auto":
+        shear_impl = (
+            "dftmm"
+            if img.dtype == jnp.bfloat16 and jax.default_backend() != "cpu"
+            else "fft"
+        )
 
     pad_min = math.ceil(h * pad_frac) + 1
     hp = next_smooth(h + 2 * pad_min)
@@ -214,9 +313,9 @@ def affine_warp_fft(
     v_idx = jnp.arange(hp, dtype=jnp.float32)
     s1 = beta1[:, None] * v_idx[None, :] + (delta1 - gamma1)[:, None]  # [B, hp]
     s1 = jax.lax.stop_gradient(s1)
-    sheared = _fft_shift_rows(src, s1[:, None, :], taper_from, taper_conditional)  # [B,C,hp,hp]
-    sheared = sheared * jax.lax.stop_gradient(_wrap_mask(hp, s1))[:, None, :, :]
-    K1 = jax.lax.stop_gradient(_scale_band(w, hp, sigma1, gamma1))  # [B,W,hp]
+    sheared = _fft_shift_rows(src, s1[:, None, :], taper_from, taper_conditional, shear_impl)  # [B,C,hp,hp]
+    sheared = sheared * jax.lax.stop_gradient(_wrap_mask(hp, s1))[:, None, :, :].astype(sheared.dtype)
+    K1 = jax.lax.stop_gradient(_scale_band(w, hp, sigma1, gamma1)).astype(sheared.dtype)  # [B,W,hp]
     T = jnp.einsum("bchx,box->bcho", sheared, K1, precision=prec)  # [B,C,hp,W]
 
     # ---- pass 2: vertical. out[y', x'] = T[σ2·y' + β2·x' + δ2, x'] ----
@@ -228,9 +327,9 @@ def affine_warp_fft(
     s2 = beta2[:, None] * x_idx[None, :] + (delta2 - gamma2)[:, None]  # [B, W]
     s2 = jax.lax.stop_gradient(s2)
     Tt = jnp.swapaxes(T, -1, -2)  # [B,C,W,hp] — v minor for the row FFT
-    sheared2 = _fft_shift_rows(Tt, s2[:, None, :], taper_from, taper_conditional)
-    sheared2 = sheared2 * jax.lax.stop_gradient(_wrap_mask(hp, s2))[:, None, :, :]
-    K2 = jax.lax.stop_gradient(_scale_band(h, hp, sigma2, gamma2))  # [B,H,hp]
+    sheared2 = _fft_shift_rows(Tt, s2[:, None, :], taper_from, taper_conditional, shear_impl)
+    sheared2 = sheared2 * jax.lax.stop_gradient(_wrap_mask(hp, s2))[:, None, :, :].astype(sheared2.dtype)
+    K2 = jax.lax.stop_gradient(_scale_band(h, hp, sigma2, gamma2)).astype(sheared2.dtype)  # [B,H,hp]
     out_t = jnp.einsum("bcxv,byv->bcxy", sheared2, K2, precision=prec)  # [B,C,W,H]
     out = jnp.swapaxes(out_t, -1, -2).astype(img.dtype)
 

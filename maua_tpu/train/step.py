@@ -95,6 +95,11 @@ class TrainConfig(NamedTuple):
     # exact). None disables; conditional=False restores always-on (ablation)
     ada_fft_taper: float | None = 0.85
     ada_fft_taper_conditional: bool = True
+    # randomize_noise draws at s2d phase layers happen directly in the phase
+    # layout (distribution-identical iid, ~5× cheaper — blocks.NoiseInjection);
+    # False restores bitwise rng parity with the native path (used by the
+    # exact-reordering parity test, tests/test_s2d.py)
+    fast_phase_noise: bool = True
 
 
 def make_train_config(**kwargs) -> TrainConfig:
@@ -157,6 +162,10 @@ def init_train_state(rng: jax.Array, cfg: TrainConfig) -> tuple[GANTrainState, G
         constant_input=cfg.constant_input,
         dtype=dtype,
         s2d_min_res=s2d,
+        # training draws fresh noise every step: take the phase-layout draw
+        # (distribution-identical, ~5× cheaper — blocks.NoiseInjection);
+        # inference keeps the default bitwise-parity draws
+        fast_phase_noise=cfg.fast_phase_noise,
     )
     disc = Discriminator(
         size=cfg.size, channel_multiplier=cfg.channel_multiplier, channel_max=cfg.channel_max,
@@ -266,17 +275,43 @@ def make_train_phases(gen: Generator, disc: Discriminator, cfg: TrainConfig) -> 
     def d_microbatch_loss(d_and_head, g_params, buffers, real, rng, ada_p, cl_state):
         d_params, cl_head = d_and_head
         kw, kn, ka1, ka2 = jax.random.split(rng, 4)
-        wplus = _mixed_wplus(gen, g_params, buffers, kw, real.shape[0], cfg)
+        b = real.shape[0]
+        wplus = _mixed_wplus(gen, g_params, buffers, kw, b, cfg)
         fake = jax.lax.stop_gradient(synth(g_params, wplus, kn, buffers))
-        if cfg.augment:
-            fake_aug, _ = augment(fake, ada_p, rng=ka1, fast_warp=cfg.ada_fast_warp, warp_method=cfg.ada_warp_method,
+        # bf16 mode: augment in bf16 — D casts its input to bf16 anyway, and
+        # the fft warp's shear then runs as MXU DFT matmuls instead of VPU
+        # jnp.fft (fft_warp._shift_rows_dftmm; measured 14.7 ms per
+        # rfft+irfft roundtrip @1024², 2×17 ms of the 27 ms warp fwd)
+        adt = jnp.bfloat16 if cfg.bf16 else None
+        fake_in = fake.astype(adt) if adt else fake
+        real_in = real.astype(adt) if adt else real
+        # fused fake/real pass: ONE interleaved [2B] augment + D application
+        # instead of two [B] ones — per-sample math is identical (augment and
+        # D act per sample), and the INTERLEAVED order [f0,r0,f1,r1,…] keeps
+        # minibatch_stddev's strided groups pure (group m pools samples
+        # {m, m+s, m+2s, …} with stride s = 2B/group; s is even whenever
+        # B % 4 == 0, so every group is all-fake or all-real — the same
+        # statistic two separate applications compute). Halves the per-call
+        # fixed costs of the warp FFT/matmuls and D's conv launches at 1024².
+        fuse = b % 4 == 0 and cfg.bcr_weight == 0 and cfg.contrastive_weight == 0
+        if fuse:
+            both = jnp.stack([fake_in, real_in], axis=1).reshape(2 * b, *real.shape[1:])
+            if cfg.augment:
+                both, _ = augment(both, ada_p, rng=ka1, fast_warp=cfg.ada_fast_warp, warp_method=cfg.ada_warp_method,
                                   fft_taper=cfg.ada_fft_taper, fft_taper_conditional=cfg.ada_fft_taper_conditional)
-            real_aug, _ = augment(real, ada_p, rng=ka2, fast_warp=cfg.ada_fast_warp, warp_method=cfg.ada_warp_method,
+            pred = d_apply(d_params, both)
+            fake_pred, real_pred = pred[0::2], pred[1::2]
+            fake_aug, real_aug = None, None  # only bCR/contrastive need them
+        elif cfg.augment:
+            fake_aug, _ = augment(fake_in, ada_p, rng=ka1, fast_warp=cfg.ada_fast_warp, warp_method=cfg.ada_warp_method,
+                                  fft_taper=cfg.ada_fft_taper, fft_taper_conditional=cfg.ada_fft_taper_conditional)
+            real_aug, _ = augment(real_in, ada_p, rng=ka2, fast_warp=cfg.ada_fast_warp, warp_method=cfg.ada_warp_method,
                                   fft_taper=cfg.ada_fft_taper, fft_taper_conditional=cfg.ada_fft_taper_conditional)
         else:
             fake_aug, real_aug = fake, real
-        fake_pred = d_apply(d_params, fake_aug)
-        real_pred = d_apply(d_params, real_aug)
+        if not fuse:
+            fake_pred = d_apply(d_params, fake_aug)
+            real_pred = d_apply(d_params, real_aug)
         loss = d_logistic_loss(real_pred, fake_pred)
         if cfg.bcr_weight > 0:
             # balanced consistency regularization (train.py:184-189)
@@ -396,6 +431,8 @@ def make_train_phases(gen: Generator, disc: Discriminator, cfg: TrainConfig) -> 
         wplus = _mixed_wplus(gen, g_params, buffers, kw, batch, cfg)
         fake = synth(g_params, wplus, kn, buffers)
         if cfg.augment:
+            if cfg.bf16:  # see d_microbatch_loss — bf16 augment is the MXU path
+                fake = fake.astype(jnp.bfloat16)
             fake, _ = augment(fake, ada_p, rng=ka, fast_warp=cfg.ada_fast_warp, warp_method=cfg.ada_warp_method,
                                   fft_taper=cfg.ada_fft_taper, fft_taper_conditional=cfg.ada_fft_taper_conditional)
         loss = g_nonsaturating_loss(d_apply(d_params, fake))

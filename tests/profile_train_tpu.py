@@ -102,9 +102,12 @@ def bench(name, fn, carry0, make_args, pick, scalar_of, n=None):
     t1 = run(3)
     t2 = run(n2)
     ms = (t2 - t1) / (n2 - 3) * 1000
-    return {"name": name, "ms": ms, "gflops": flops / 1e9,
-            "tflops_s": flops / (ms / 1000) / 1e12 if ms > 0 else 0.0,
-            "mfu": flops / (ms / 1000) / peak if ms > 0 else 0.0}
+    row = {"name": name, "ms": ms, "gflops": flops / 1e9,
+           "tflops_s": flops / (ms / 1000) / 1e12 if ms > 0 else 0.0,
+           "mfu": flops / (ms / 1000) / peak if ms > 0 else 0.0}
+    print(f"[row] {name}: {ms:.1f} ms, {flops/1e9:.0f} GFLOP, "
+          f"MFU {row['mfu']*100:.0f}%", flush=True)
+    return row
 
 
 key_of = lambda i: jax.random.PRNGKey(100 + i)
@@ -124,15 +127,19 @@ rows.append(bench("ADA p-update", phases["ada"], state,
 rows.append(bench("lookahead + EMA tail", lambda s: (phases["tail"](s),), state,
                   lambda i: (), pick_state, lambda out: out[0].step))
 
-# attribution: the ADA augment pipeline alone (fwd), image chained through
+# attribution: the ADA augment pipeline alone (fwd), image chained through.
+# The step augments in bf16 when --bf16 (train/step.py casts before augment,
+# which selects the MXU dftmm shear) — attribute the same dtype
 from maua_tpu.train.augment import augment as _augment
+
+reals_attr = reals[0].astype(jnp.bfloat16) if args.bf16 else reals[0]
 
 def aug_only(img, key):
     out, _ = _augment(img, jnp.asarray(0.5), rng=key, fast_warp=cfg.ada_fast_warp,
                       warp_method=cfg.ada_warp_method)
     return (out, jnp.mean(out.astype(jnp.float32)))
 
-rows.append(bench("  [attribution] ADA augment fwd only", aug_only, reals[0],
+rows.append(bench("  [attribution] ADA augment fwd only", aug_only, reals_attr,
                   lambda i: (key_of(i),), lambda out: out[0], lambda out: out[1]))
 
 
@@ -147,7 +154,7 @@ def aug_fwd_bwd(img, key):
     g = jax.grad(loss)(img)
     return (g.astype(img.dtype), jnp.mean(g.astype(jnp.float32)))
 
-rows.append(bench("  [attribution] ADA augment fwd+bwd", aug_fwd_bwd, reals[0],
+rows.append(bench("  [attribution] ADA augment fwd+bwd", aug_fwd_bwd, reals_attr,
                   lambda i: (key_of(i),), lambda out: out[0], lambda out: out[1]))
 
 
@@ -157,7 +164,7 @@ def d_fwd_only(img, key):
     nxt = img + 1e-12 * jnp.mean(pred).astype(img.dtype)
     return (nxt, jnp.mean(pred.astype(jnp.float32)))
 
-rows.append(bench("  [attribution] D fwd only", d_fwd_only, reals[0],
+rows.append(bench("  [attribution] D fwd only", d_fwd_only, reals_attr,
                   lambda i: (key_of(i),), lambda out: out[0], lambda out: out[1]))
 
 def synth_only(z, key):

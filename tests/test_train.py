@@ -602,3 +602,43 @@ def test_affine_warp_fft_conditional_taper_exact_on_lattice():
     none = affine_warp_fft(img, frac_tr, taper_from=None)
     np.testing.assert_allclose(np.asarray(cond), np.asarray(always), atol=1e-5)
     assert float(jnp.max(jnp.abs(cond - none))) > 1e-3
+
+
+def test_affine_warp_fft_dftmm_impl_matches():
+    """The "dftmm" shear impl (shared DFT matmuls on the MXU — the TPU bf16
+    fast path, fft_warp._shift_rows_dftmm) computes the SAME transform as the
+    jnp.fft impl: fp32 agrees to fp32 rounding; bf16 agrees to bf16
+    coefficient-rounding noise (~2e-2 on full-spectrum random images — the
+    worst case; bf16 itself quantizes ±1 values at ~8e-3). Gradients flow
+    (it is plain matmuls, no custom VJP needed)."""
+    import jax
+    import jax.numpy as jnp
+
+    from maua_tpu.train.fft_warp import _fft_shift_rows, affine_warp_fft
+
+    h = 36
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(2, 3, h, h).astype(np.float32)) * 2 - 1
+    c, s = np.cos(0.3), np.sin(0.3)
+    G = np.stack([
+        np.array([[1.0, 0.1, 0.08], [0.0, 1.0, -0.05], [0, 0, 1]], np.float32),
+        np.array([[c, -s, 0.0], [s, c, 0.0], [0, 0, 1]], np.float32),
+    ])
+    G = jnp.asarray(G)
+
+    wf = affine_warp_fft(img, G, shear_impl="fft")
+    wd = affine_warp_fft(img, G, shear_impl="dftmm")
+    np.testing.assert_allclose(np.asarray(wd), np.asarray(wf), atol=1e-5)
+
+    wdb = affine_warp_fft(img.astype(jnp.bfloat16), G, shear_impl="dftmm")
+    assert float(jnp.abs(wdb.astype(jnp.float32) - wf).max()) < 5e-2
+
+    # raw shear: integer and fractional shifts agree across impls
+    shift = jnp.asarray(rng.uniform(-5, 5, (2, 1, h)).astype(np.float32))
+    a = _fft_shift_rows(img, shift, 0.85, True, "fft")
+    b = _fft_shift_rows(img, shift, 0.85, True, "dftmm")
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
+
+    # gradient flows through the dftmm warp (the G-phase path)
+    g = jax.grad(lambda x: jnp.sum(affine_warp_fft(x, G, shear_impl="dftmm") ** 2))(img)
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).max()) > 0
