@@ -264,10 +264,14 @@ def affine_warp_fft(
     # the fast default — its images are bf16-rounded anyway
     prec = jax.lax.Precision.HIGHEST if img.dtype == jnp.float32 else None
     if shear_impl == "auto":
+        # resolve from the device the computation will actually run on: a
+        # jax.default_device(cpu) context (the documented eager/CPU pattern
+        # under the pinned axon platform) must pick the FFT path even when
+        # the process-default backend is an accelerator
+        dev = getattr(jax.config, "jax_default_device", None)
+        platform = dev.platform if dev is not None else jax.default_backend()
         shear_impl = (
-            "dftmm"
-            if img.dtype == jnp.bfloat16 and jax.default_backend() != "cpu"
-            else "fft"
+            "dftmm" if img.dtype == jnp.bfloat16 and platform != "cpu" else "fft"
         )
 
     pad_min = math.ceil(h * pad_frac) + 1

@@ -293,7 +293,14 @@ def make_train_phases(gen: Generator, disc: Discriminator, cfg: TrainConfig) -> 
         # B % 4 == 0, so every group is all-fake or all-real — the same
         # statistic two separate applications compute). Halves the per-call
         # fixed costs of the warp FFT/matmuls and D's conv launches at 1024².
-        fuse = b % 4 == 0 and cfg.bcr_weight == 0 and cfg.contrastive_weight == 0
+        # purity needs stride 2B/group even, i.e. B % stddev_group == 0 —
+        # derive from the actual group size so a future configurable group
+        # can't silently mix fakes and reals within a stddev group
+        fuse = (
+            b % disc.stddev_group == 0
+            and cfg.bcr_weight == 0
+            and cfg.contrastive_weight == 0
+        )
         if fuse:
             both = jnp.stack([fake_in, real_in], axis=1).reshape(2 * b, *real.shape[1:])
             if cfg.augment:

@@ -159,9 +159,12 @@ rows.append(bench("  [attribution] ADA augment fwd+bwd", aug_fwd_bwd, reals_attr
 
 
 def d_fwd_only(img, key):
-    del key
     pred = disc.apply({"params": state.d_params}, img)
-    nxt = img + 1e-12 * jnp.mean(pred).astype(img.dtype)
+    # the carried input must GENUINELY differ per iteration: a 1e-12 nudge
+    # rounds away (bf16 ulp of O(1) values ~4e-3) and the tunnel dedupes
+    # bitwise-identical dispatches (CLAUDE.md); consume `key` so jit doesn't
+    # prune it and add a perturbation above the ulp floor
+    nxt = img + 1e-3 * jax.random.normal(key, img.shape, img.dtype)
     return (nxt, jnp.mean(pred.astype(jnp.float32)))
 
 rows.append(bench("  [attribution] D fwd only", d_fwd_only, reals_attr,
