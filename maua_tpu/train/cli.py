@@ -98,6 +98,14 @@ def train_loop(args) -> None:
         ),
         ada_fft_taper=(args.ada_fft_taper if args.ada_fft_taper > 0 else None),
         ada_fft_taper_conditional=not args.ada_fft_taper_always,
+        # auto: chunk the lazy-reg double-backwards into stddev-group-sized
+        # pieces at ≥512² (their peak HBM is what bounds the batch there —
+        # measured at 1024² b12); a no-op at small sizes
+        reg_chunks=(
+            args.reg_chunks
+            if args.reg_chunks > 0
+            else (max(1, args.batch_size // 4) if args.size >= 512 else 1)
+        ),
     )
     if getattr(args, "print_config", False):
         import json as _json
@@ -395,6 +403,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bf16 conv compute in G/D (params fp32) — the TPU fast path")
     p.add_argument("--s2d_min_res", type=int, default=-1,
                    help="polyphase (s2d) generator evaluation from this resolution up; -1=auto, 0=off")
+    p.add_argument("--reg_chunks", type=int, default=-1,
+                   help="split lazy-reg (R1/path) microbatches into k sequential "
+                        "chunks — exact, bounds the double-backward peak HBM; "
+                        "-1 = auto (batch/4 at >=512², else 1)")
     p.add_argument("--ada_warp", type=str, default="auto",
                    choices=["auto", "", "fft", "matmul", "conv"],
                    help="ADA geometric warp: auto = FFT-shear on accelerators / "

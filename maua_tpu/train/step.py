@@ -100,6 +100,18 @@ class TrainConfig(NamedTuple):
     # False restores bitwise rng parity with the native path (used by the
     # exact-reordering parity test, tests/test_s2d.py)
     fast_phase_noise: bool = True
+    # split each lazy-regularizer microbatch into this many sequential chunks
+    # (lax.scan): the R1/path double-backward grad is a mean over samples, so
+    # chunking is EXACT while dividing the reg branches' peak HBM (measured:
+    # R1 temps are what OOM a batch-12 1024² step — the branch holds D's
+    # full activation set plus the grad-of-grad graph). 1 = whole microbatch.
+    reg_chunks: int = 1
+    # rematerialize G synthesis in the G phase (jax.checkpoint): the G
+    # backward otherwise holds G's AND D's activation sets simultaneously;
+    # remat trades one extra synthesis forward for ~the whole G activation
+    # set of peak HBM — the enabling trade for batch 12 @1024² on a 16 GB
+    # chip (jax.checkpoint is the TPU idiom for exactly this)
+    remat_synth: bool = False
 
 
 def make_train_config(**kwargs) -> TrainConfig:
@@ -398,6 +410,23 @@ def make_train_phases(gen: Generator, disc: Discriminator, cfg: TrainConfig) -> 
         )
 
     # ---------------- R1 phase (lazy, cond) ----------------
+    # reg_chunks splits each microbatch into sequential chunks: the R1 grad
+    # is a mean over samples, so Σ_chunks grad(mean_chunk)/k == grad(mean) —
+    # exact, but the double-backward branch's peak HBM (D activations + the
+    # grad-of-grad graph) scales with the chunk size, not the batch
+    reg_k = max(1, cfg.reg_chunks)
+    if cfg.batch_size % reg_k != 0:
+        raise ValueError(f"reg_chunks ({reg_k}) must divide batch_size ({cfg.batch_size})")
+    if reg_k > 1 and (cfg.batch_size // reg_k) % disc.stddev_group != 0:
+        # minibatch-stddev pools contiguous groups of stddev_group samples;
+        # chunks that are whole multiples of the group keep R1's D function
+        # bitwise-identical to the unchunked batch — anything else silently
+        # regroups the statistic (measured 2% R1 drift at chunk 2, group 4)
+        raise ValueError(
+            f"batch_size/reg_chunks ({cfg.batch_size // reg_k}) must be a "
+            f"multiple of the discriminator stddev group ({disc.stddev_group})"
+        )
+
     def r1_loss_fn(d_params, real, rng, ada_p):
         # R1 is computed on RAW (un-augmented) reals like the reference
         # (train.py:195-205). The batch is reused from the D phase (a fresh
@@ -410,7 +439,7 @@ def make_train_phases(gen: Generator, disc: Discriminator, cfg: TrainConfig) -> 
 
         grad_img = jax.grad(scalar_pred)(real)
         r1 = 0.5 * jnp.mean(jnp.sum(jnp.square(grad_img.reshape(grad_img.shape[0], -1)), axis=1))
-        return cfg.r1 * cfg.d_reg_every * r1 / cfg.num_accumulate, r1
+        return cfg.r1 * cfg.d_reg_every * r1 / (cfg.num_accumulate * reg_k), r1 / reg_k
 
     def r1_phase(state: GANTrainState, real_imgs, rng):
         def scan_body(carry, inp):
@@ -421,9 +450,11 @@ def make_train_phases(gen: Generator, disc: Discriminator, cfg: TrainConfig) -> 
             )
             return (jax.tree_util.tree_map(jnp.add, grads_acc, grads), r1_acc + r1), None
 
-        keys = jax.random.split(rng, cfg.num_accumulate)
+        a, b = real_imgs.shape[0], real_imgs.shape[1]
+        chunked = real_imgs.reshape(a * reg_k, b // reg_k, *real_imgs.shape[2:])
+        keys = jax.random.split(rng, a * reg_k)
         (grads, r1_sum), _ = jax.lax.scan(
-            scan_body, (zeros_like(state.d_params), jnp.zeros(())), (real_imgs, keys)
+            scan_body, (zeros_like(state.d_params), jnp.zeros(())), (chunked, keys)
         )
         # optimizer state spans (d_params, cl_head); R1 touches only D
         d_and_head = (state.d_params, state.cl_head)
@@ -433,10 +464,12 @@ def make_train_phases(gen: Generator, disc: Discriminator, cfg: TrainConfig) -> 
         return state.replace(d_params=d_params, cl_head=cl_head, d_opt_state=d_opt_state), r1_sum
 
     # ---------------- G phase ----------------
+    g_synth = jax.checkpoint(synth) if cfg.remat_synth else synth
+
     def g_loss_fn(g_params, d_params, buffers, rng, ada_p, batch):
         kw, kn, ka = jax.random.split(rng, 3)
         wplus = _mixed_wplus(gen, g_params, buffers, kw, batch, cfg)
-        fake = synth(g_params, wplus, kn, buffers)
+        fake = g_synth(g_params, wplus, kn, buffers)
         if cfg.augment:
             if cfg.bf16:  # see d_microbatch_loss — bf16 augment is the MXU path
                 fake = fake.astype(jnp.bfloat16)
@@ -462,7 +495,11 @@ def make_train_phases(gen: Generator, disc: Discriminator, cfg: TrainConfig) -> 
         return state.replace(g_params=g_params, g_opt_state=g_opt_state), loss_sum
 
     # ---------------- path-length phase (lazy, cond) ----------------
-    path_batch = max(1, cfg.batch_size // max(cfg.path_batch_shrink, 1))
+    # reg_chunks: each chunk draws its own fresh latents at path_batch/k (the
+    # same estimator family as path_batch_shrink itself, reference
+    # train.py:242-249); the EMA path mean updates once per chunk instead of
+    # once per microbatch (decay 0.01 — negligible schedule difference)
+    path_batch = max(1, cfg.batch_size // max(cfg.path_batch_shrink, 1) // reg_k)
 
     def path_loss_fn(g_params, buffers, rng, mean_path_length):
         kw, kn, kimg = jax.random.split(rng, 3)
@@ -483,8 +520,8 @@ def make_train_phases(gen: Generator, disc: Discriminator, cfg: TrainConfig) -> 
         path_mean = mean_path_length + 0.01 * (jnp.mean(path_lengths) - mean_path_length)
         penalty = jnp.mean(jnp.square(path_lengths - path_mean))
         path_mean = jnp.where(jnp.isnan(path_mean), mean_path_length, path_mean)
-        loss = cfg.path_regularize * cfg.g_reg_every * penalty / cfg.num_accumulate
-        return loss, (penalty, jax.lax.stop_gradient(path_mean))
+        loss = cfg.path_regularize * cfg.g_reg_every * penalty / (cfg.num_accumulate * reg_k)
+        return loss, (penalty / reg_k, jax.lax.stop_gradient(path_mean))
 
     def path_phase(state: GANTrainState, rng):
         def scan_body(carry, key):
@@ -494,7 +531,7 @@ def make_train_phases(gen: Generator, disc: Discriminator, cfg: TrainConfig) -> 
             )
             return (jax.tree_util.tree_map(jnp.add, grads_acc, grads), pen_acc + pen, mpl), None
 
-        keys = jax.random.split(rng, cfg.num_accumulate)
+        keys = jax.random.split(rng, cfg.num_accumulate * reg_k)
         (grads, pen_sum, mpl), _ = jax.lax.scan(
             scan_body,
             (zeros_like(state.g_params), jnp.zeros(()), state.mean_path_length),

@@ -300,3 +300,103 @@ def test_generate_stylegan1_end_to_end(tiny_wav, tmp_path):
         output_file=str(tmp_path / "sg1.mp4"),
     )
     assert os.path.exists(out) or os.path.exists(out + ".npy")
+
+
+def test_segmented_noise_structure():
+    """The reference's moving-noise timeline (generate_video.py:288-336):
+    coarse scales animate at the START, mid scales in the MIDDLE band, fine
+    scales at the END; scales beyond the cap are dropped (None)."""
+    from maua_tpu.pipeline.interpolate import segmented_noise
+
+    n_frames = 12
+    noise = segmented_noise(n_frames, 64, 64, moving_frames=4, mid_start=3, smooth=0.0)
+    rmin, rmax, _ = get_noise_range(64, 64, False)
+    assert len(noise) == rmax - rmin  # one per scale (11 @64²)
+    for i, n in enumerate(noise):
+        assert n is not None and n.shape[0] == n_frames and n.shape[1] == 1
+
+    def animated(seg):  # frames differ within the slice
+        return np.ptp(seg, axis=0).max() > 1e-6
+
+    coarse, mid, fine = noise[0], noise[5], noise[-1]
+    assert animated(coarse[:4]) and not animated(coarse[6:])
+    assert not animated(mid[:3]) and animated(mid[3:7]) and not animated(mid[8:])
+    assert not animated(fine[:4]) and animated(fine[-4:])
+
+    # the >max_scale_idx VRAM guard (generate_video.py:293-295)
+    capped = segmented_noise(4, 64, 64, moving_frames=2, max_scale_idx=4, smooth=0.0)
+    assert capped[4] is not None and all(n is None for n in capped[5:])
+
+
+def test_build_manipulations_pad_and_timelines():
+    """Manipulation list parity (generate_video.py:463-523): the layer-0
+    replication-pad + add-noise manipulation appears iff out_size > G_res;
+    translate/zoom/rotate timelines have per-frame modulation."""
+    from maua_tpu.pipeline.interpolate import build_manipulations
+
+    same = build_manipulations(8, 32, 32)
+    assert same == []
+
+    up = build_manipulations(8, 64, 32, translate_layer=2, zoom_layer=3, rotate_layer=4)
+    # pad + noise at layer 0 (uncommented reference manipulation :470-483)
+    assert up[0].layer == 0 and up[1].layer == 0
+    x = jnp.ones((2, 3, 4, 4))
+    assert up[0].transform(x).shape == (2, 3, 8, 8)  # 4x4 -> 2^log_min_res
+    layers = [b.layer for b in up[2:]]
+    assert layers == [2, 3, 4]
+    for b in up[2:]:
+        assert b.modulation is not None and len(b.modulation) == 8
+    zoom_mod = np.asarray(up[3].modulation)
+    assert zoom_mod.min() >= 0.5 - 1e-6 and zoom_mod.max() <= 1.5 + 1e-6
+    rot_mod = np.asarray(up[4].modulation)
+    assert rot_mod.min() >= 0.0 and rot_mod.max() <= 360.0
+
+
+def test_interpolation_video_working_subset(tiny_ckpt, tmp_path):
+    """generate_video.py's working subset end-to-end: static first-latent hold
+    + segmented moving noise + bend timelines + the noise-debug video."""
+    from maua_tpu.pipeline.interpolate import interpolation_video
+
+    out = str(tmp_path / "iv.mp4")
+    res = interpolation_video(
+        tiny_ckpt,
+        n_latents=3,
+        duration=1.5,
+        fps=4,
+        interp="static",
+        batch=3,
+        output_file=out,
+        noise_mode="segmented",
+        noise_debug=True,
+        translate_layer=1,
+        zoom_layer=2,
+        rotate_layer=2,
+        truncation=0.8,
+    )
+    assert os.path.exists(res) or os.path.exists(res + ".npy")
+    dbg = str(tmp_path / "iv_noise.mp4")
+    assert os.path.exists(dbg) or os.path.exists(dbg + ".npy")
+    if os.path.exists(res + ".npy"):
+        frames = np.load(res + ".npy")
+        assert frames.shape == (6, 32, 32, 3)
+        # static latent + moving noise is NOT a freeze-frame video
+        assert np.ptp(frames.astype(np.int16), axis=0).max() > 0
+
+
+def test_interpolation_video_slerp_cli(tiny_ckpt, tmp_path):
+    """Flag-compatible CLI (reference generate_video.py argparse): --n_frames
+    overrides duration*fps, --latents loads a user .npy selection."""
+    from maua_tpu.pipeline.interpolate import main as interp_main
+
+    sel = np.tile(
+        np.random.RandomState(0).randn(3, 1, 512).astype(np.float32), (1, 8, 1)
+    )
+    latf = str(tmp_path / "sel.npy")
+    np.save(latf, sel)
+    out = str(tmp_path / "cli.mp4")
+    rc = interp_main([
+        "--ckpt", tiny_ckpt, "--latents", latf, "--interp", "slerp",
+        "--n_frames", "4", "--fps", "4", "--batch", "2", "--output_file", out,
+    ])
+    assert rc == 0
+    assert os.path.exists(out) or os.path.exists(out + ".npy")
