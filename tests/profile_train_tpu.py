@@ -42,6 +42,10 @@ p.add_argument("--fast_warp", action="store_true")
 p.add_argument("--fft_warp", action="store_true", help="gather-free FFT-shear ADA warp")
 p.add_argument("--iters", type=int, default=6)
 p.add_argument("--no_fused", action="store_true", help="skip the fused full-step timing")
+p.add_argument("--reg_chunks", type=int, default=1,
+               help="chunk the lazy-reg double-backwards (train/step.py reg_chunks)")
+p.add_argument("--remat_synth", action="store_true",
+               help="jax.checkpoint on G synthesis in the G phase")
 args = p.parse_args()
 
 cfg = make_train_config(
@@ -49,6 +53,7 @@ cfg = make_train_config(
     augment=True, lookahead=True, bf16=args.bf16, ada_fast_warp=args.fast_warp,
     ada_warp_method="fft" if args.fft_warp else None,
     d_reg_every=16, g_reg_every=4, s2d_min_res=args.s2d,
+    reg_chunks=args.reg_chunks, remat_synth=args.remat_synth,
 )
 state, gen, disc = init_train_state(jax.random.PRNGKey(0), cfg)
 phases = make_train_phases(gen, disc, cfg)
@@ -160,12 +165,16 @@ rows.append(bench("  [attribution] ADA augment fwd+bwd", aug_fwd_bwd, reals_attr
 
 def d_fwd_only(img, key):
     pred = disc.apply({"params": state.d_params}, img)
-    # the carried input must GENUINELY differ per iteration: a 1e-12 nudge
-    # rounds away (bf16 ulp of O(1) values ~4e-3) and the tunnel dedupes
-    # bitwise-identical dispatches (CLAUDE.md); consume `key` so jit doesn't
-    # prune it and add a perturbation above the ulp floor
-    nxt = img + 1e-3 * jax.random.normal(key, img.shape, img.dtype)
-    return (nxt, jnp.mean(pred.astype(jnp.float32)))
+    # the carried input must GENUINELY differ per iteration (a 1e-12 nudge
+    # rounds away in bf16 and the tunnel dedupes bitwise-identical
+    # dispatches) AND must DEPEND ON pred — otherwise the carry chain is
+    # img→img and the D computations of successive dispatches pipeline
+    # (measured: 580% "MFU" when the carry skipped pred)
+    pm = jnp.mean(pred.astype(jnp.float32))
+    nxt = img * (1 + 1e-4 * jnp.tanh(pm)).astype(img.dtype) + 1e-3 * jax.random.normal(
+        key, img.shape, img.dtype
+    )
+    return (nxt, pm)
 
 rows.append(bench("  [attribution] D fwd only", d_fwd_only, reals_attr,
                   lambda i: (key_of(i),), lambda out: out[0], lambda out: out[1]))
@@ -184,6 +193,36 @@ def synth_only(z, key):
     return (z_next, jnp.mean(img.astype(jnp.float32)))
 
 rows.append(bench("  [attribution] G synth fwd only", synth_only,
+                  jnp.zeros((args.batch, cfg.latent_dim)),
+                  lambda i: (key_of(i),), lambda out: out[0], lambda out: out[1]))
+
+
+def synth_fwd_bwd(z, key):
+    # isolates the G backward from the G phase (which also carries D fwd +
+    # D input-bwd + augment bwd): grad of a scalar of synth(wplus) wrt
+    # g_params — healthy is ~3x the fwd-only row
+    from maua_tpu.train.step import _mixed_wplus
+    kw, kn = jax.random.split(key)
+
+    def loss(g_params):
+        wplus = _mixed_wplus(gen, g_params, state.g_buffers, kw, args.batch, cfg)
+        wplus = wplus + 1e-12 * z[:, None, : wplus.shape[-1]]
+        img = gen.apply(
+            {"params": g_params, "buffers": state.g_buffers}, wplus,
+            input_is_latent=True, randomize_noise=True, rngs={"noise": kn},
+        )[0]
+        return jnp.sum(img.astype(jnp.float32) ** 2), img
+
+    (_, img), grads = jax.value_and_grad(loss, has_aux=True)(state.g_params)
+    gsum = jax.tree_util.tree_reduce(
+        lambda a, b: a + jnp.sum(b.astype(jnp.float32)), grads, jnp.zeros(())
+    )
+    z_next = img.reshape(args.batch, -1)[:, : cfg.latent_dim].astype(jnp.float32) * (
+        1 + 1e-6 * jnp.tanh(gsum)
+    )
+    return (z_next, jnp.mean(img.astype(jnp.float32)) + 1e-9 * gsum)
+
+rows.append(bench("  [attribution] G synth fwd+bwd only", synth_fwd_bwd,
                   jnp.zeros((args.batch, cfg.latent_dim)),
                   lambda i: (key_of(i),), lambda out: out[0], lambda out: out[1]))
 
