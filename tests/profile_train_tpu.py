@@ -46,6 +46,10 @@ p.add_argument("--reg_chunks", type=int, default=1,
                help="chunk the lazy-reg double-backwards (train/step.py reg_chunks)")
 p.add_argument("--remat_synth", action="store_true",
                help="jax.checkpoint on G synthesis in the G phase")
+p.add_argument("--fused_only", action="store_true",
+               help="time ONLY the fused step (skip the per-phase rows; "
+                    "avoids ~10 fresh 1024-scale compiles when sweeping "
+                    "batch/reg_chunks configurations)")
 args = p.parse_args()
 
 cfg = make_train_config(
@@ -65,9 +69,14 @@ reals = jax.random.normal(
 jax.block_until_ready(reals)
 
 # the D phase's aux output feeds the ada phase; get a concrete one first
-d_jit = jax.jit(phases["d"])
-state2, d_aux = d_jit(state, reals, jax.random.PRNGKey(1))
-jax.block_until_ready(d_aux)
+# (skipped in --fused_only: it would compile the full D phase just to feed
+# the ada row, which fused_only doesn't run)
+if not args.fused_only:
+    d_jit = jax.jit(phases["d"])
+    state2, d_aux = d_jit(state, reals, jax.random.PRNGKey(1))
+    jax.block_until_ready(d_aux)
+else:
+    d_aux = None
 
 
 def bench(name, fn, carry0, make_args, pick, scalar_of, n=None):
@@ -83,6 +92,9 @@ def bench(name, fn, carry0, make_args, pick, scalar_of, n=None):
     * TWO chain lengths, per-iter = slope (T(n2)-T(n1))/(n2-n1) — cancels the
       fixed dispatch/fetch latency (~seconds through the tunnel).
     """
+    if args.fused_only and not name.startswith("fused"):
+        return {"name": name, "ms": float("nan"), "gflops": 0.0,
+                "tflops_s": 0.0, "mfu": 0.0}
     n2 = (n or args.iters) + 3
     jit_fn = jax.jit(fn)
     first = (carry0, *make_args(0))
@@ -246,6 +258,7 @@ if not args.no_fused:
 else:
     fused_reg_ms = fused_noreg_ms = float("nan")
 
+rows = [r for r in rows if r["ms"] == r["ms"]]  # drop skipped (nan) rows
 amort_total = 0.0
 print(f"\n## phase profile: size={args.size} batch={args.batch}x{args.accum} "
       f"bf16={args.bf16} fast_warp={args.fast_warp} s2d={cfg.s2d_min_res}")
