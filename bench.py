@@ -273,13 +273,18 @@ def main() -> int:
     except Exception as e:
         print(f"train-step bench failed: {e}", file=sys.stderr)
 
-    # flagship 1024² training config (reference train.py:366,375: batch 12
-    # via accumulation) — batch 4 × 3 microbatches, FFT-shear warp, G+D s2d.
-    # Gather-warp honest baselines for the same configs: 1065 ms @256²
-    # (exact 2× warp), 7934 ms here (1×-grid fast warp), 2026-08-18
+    # flagship 1024² training config (reference train.py:366,375: global
+    # batch 12) — run as ONE batch-12 microbatch, FFT-shear warp, G+D s2d.
+    # reg_chunks=3 bounds the lazy double-backward HBM (exact: chunk 4 is a
+    # stddev_group multiple) and remat_synth frees G's activation set during
+    # the G backward — together they fit batch 12 without accumulation, -19%
+    # steady step vs 4×3 (PARITY.md batch-12×1 table). Gather-warp honest
+    # baselines for the same configs: 1065 ms @256² (exact 2× warp), 7934 ms
+    # here (1×-grid fast warp, 4×3), 2026-08-18
     try:
-        ms = bench_train_step(size=1024, batch=4, accum=3, n1=1, n2=3, warp_method="fft")
-        print(f"train step 1024^2 batch 4x3 bf16 (fft warp): {ms:.0f} ms", file=sys.stderr)
+        ms = bench_train_step(size=1024, batch=12, accum=1, n1=1, n2=3, warp_method="fft",
+                              reg_chunks=3, remat_synth=True)
+        print(f"train step 1024^2 batch 12x1 bf16 (fft warp): {ms:.0f} ms", file=sys.stderr)
         result["train_step_1024_ms"] = round(ms, 1)
         result["train_1024_imgs_per_sec"] = round(12 / (ms / 1000), 2)
         if bench_train_step.last_flops:

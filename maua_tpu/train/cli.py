@@ -106,6 +106,14 @@ def train_loop(args) -> None:
             if args.reg_chunks > 0
             else (max(1, args.batch_size // 4) if args.size >= 512 else 1)
         ),
+        # auto: rematerialize G synthesis in the G phase at ≥512² (the G
+        # backward otherwise holds G's AND D's activation sets; bit-identical
+        # metrics, and the enabler — with reg_chunks — for batch 12 @1024²)
+        remat_synth=(
+            args.remat_synth > 0
+            if args.remat_synth >= 0
+            else args.size >= 512
+        ),
     )
     if getattr(args, "print_config", False):
         import json as _json
@@ -407,6 +415,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="split lazy-reg (R1/path) microbatches into k sequential "
                         "chunks — exact, bounds the double-backward peak HBM; "
                         "-1 = auto (batch/4 at >=512², else 1)")
+    p.add_argument("--remat_synth", type=int, default=-1,
+                   help="jax.checkpoint on G synthesis in the G phase (bit-"
+                        "identical, trades one synthesis fwd for the whole G "
+                        "activation set of peak HBM); -1 = auto (on at >=512²)")
     p.add_argument("--ada_warp", type=str, default="auto",
                    choices=["auto", "", "fft", "matmul", "conv"],
                    help="ADA geometric warp: auto = FFT-shear on accelerators / "
