@@ -15,6 +15,9 @@ import sys
 import numpy as np
 import pytest
 
+# subprocess train-CLI smoke runs (multi-minute XLA:CPU compiles) — slow tier
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def shard_dir(tmp_path_factory):

@@ -14,6 +14,9 @@ from maua_tpu.models import Generator
 from maua_tpu.pipeline import generate, get_noise_range
 from maua_tpu.render import render, write_video
 
+# end-to-end WAV->video pipeline runs — the slow tier
+pytestmark = pytest.mark.slow
+
 from test_torch_ckpt import _flax_gen_to_torch_sd
 
 

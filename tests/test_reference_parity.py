@@ -14,9 +14,14 @@ import numpy as np
 import pytest
 
 REFERENCE = "/root/reference"
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(os.path.join(REFERENCE, "models")), reason="reference repo not mounted"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not os.path.isdir(os.path.join(REFERENCE, "models")),
+        reason="reference repo not mounted",
+    ),
+    # executes the reference's own torch models in-suite — the slow tier
+    pytest.mark.slow,
+]
 
 
 @pytest.fixture(scope="module")
